@@ -1,0 +1,82 @@
+"""Voxel CNN encoder — the TPU replacement for the torchsparse SparseCNN.
+
+Parity target: reference ``pyrl/networks/backbones/sp_resnet.py`` — per-point
+MLP (in -> 32 -> 32, LN) -> voxelize at ``voxel_size`` (average features per
+voxel, torchsparse ``initial_voxelize``) -> 3x strided sparse Conv3d(k=4, s=2)
++ norm + ReLU -> global max-pool -> Linear + LN.
+
+TPU design: instead of CUDA hash-based sparse convolution we scatter-mean
+into a small dense grid (clouds are ~2 m at 5 cm voxels) and run dense
+strided 3D convolutions — dense-with-masking is the idiomatic XLA mapping at
+these occupancies, keeps every op on the MXU, and needs no dynamic shapes.
+The final pool masks empty voxels like torchsparse's GlobalMaxPool only sees
+occupied sites.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional, Sequence
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from . import NETWORK
+from ..ops.masked import masked_max
+from ..ops.voxelize import voxelize_dense
+from .blocks import MLP
+from .init import make_torch_bias_init, torch_default_kernel_init
+from .pointnet import preprocess_pointcloud
+
+
+@NETWORK.register_module(name="SparseCNN")
+@NETWORK.register_module()
+class VoxelCNN(nn.Module):
+    """Voxelized 3D conv encoder (config type ``SparseCNN`` for parity)."""
+
+    feat_dim: int
+    out_channels: int = 50
+    voxel_size: float = 0.05
+    grid_size: Sequence[int] = (32, 32, 32)
+    stem_channels: Sequence[int] = (32, 32)
+    conv_channels: Sequence[int] = (64, 128, 256)
+    kernel_size: int = 4
+    stride: int = 2
+    norm_cfg: Optional[Any] = None
+    act_cfg: Any = "ReLU"
+
+    @nn.compact
+    def __call__(self, obs, **kwargs):
+        feature = preprocess_pointcloud(obs)  # [B, N, C] channel-last
+        xyz = feature[..., :3]
+        # Point stem: in -> 32 -> 32 with LN (sp_resnet.py:29-35)
+        stem_spec = [self.feat_dim] + list(self.stem_channels)
+        x = MLP(stem_spec, norm_cfg={"type": "LN", "eps": 1e-6}, act_cfg=self.act_cfg,
+                inactivated_output=False, ignore_first_ln=True)(feature)
+
+        grid, occ = voxelize_dense(xyz, x, self.voxel_size, self.grid_size)
+        # [B, Gx, Gy, Gz, C]; occupancy mask tracks "sparse" sites.
+        occ_f = occ[..., None].astype(grid.dtype)
+        for ch in self.conv_channels:
+            in_ch = grid.shape[-1]
+            grid = nn.Conv(
+                ch,
+                (self.kernel_size,) * 3,
+                strides=(self.stride,) * 3,
+                padding="SAME",
+                kernel_init=torch_default_kernel_init,
+                bias_init=make_torch_bias_init(in_ch * self.kernel_size**3),
+            )(grid)
+            grid = nn.LayerNorm(epsilon=1e-6)(grid)
+            grid = nn.relu(grid)
+            # Track occupancy through the stride chain (any contributing input site).
+            occ_f = nn.max_pool(occ_f, (self.kernel_size,) * 3, strides=(self.stride,) * 3, padding="SAME")
+
+        B = grid.shape[0]
+        flat = grid.reshape(B, -1, grid.shape[-1])
+        occ_flat = occ_f.reshape(B, -1, 1) > 0
+        pooled = masked_max(flat, occ_flat, axis=-2)
+
+        pooled = nn.Dense(self.out_channels, kernel_init=torch_default_kernel_init,
+                          bias_init=make_torch_bias_init(pooled.shape[-1]))(pooled)
+        pooled = nn.LayerNorm()(pooled)
+        return pooled
