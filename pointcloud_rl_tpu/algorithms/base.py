@@ -1,0 +1,85 @@
+"""Host-side agent wrapper around jitted functional cores.
+
+Replaces the reference's BaseAgent (``pyrl/utils/torch/module_utils.py:112``):
+device placement, inference forward (obs -> device -> actor -> host actions),
+and the update entry point.  There is no DDP wrap/unwrap — data parallelism
+is expressed by jitting the same pure update over a sharded mesh (see
+``parallel/``).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def example_obs_from_shape(obs_shape, batch: int = 1):
+    """Synthesize a zero observation batch matching the env's obs shapes.
+
+    ``obs_shape`` is a dict of per-key shapes (no batch axis) or an int/tuple
+    for flat state observations.  rgb keys are uint8 (env contract).
+    """
+    if isinstance(obs_shape, dict):
+        out = {}
+        for k, shape in obs_shape.items():
+            shape = (shape,) if isinstance(shape, int) else tuple(shape)
+            dtype = np.uint8 if k == "rgb" else np.float32
+            out[k] = np.zeros((batch,) + shape, dtype)
+        return out
+    shape = (obs_shape,) if isinstance(obs_shape, int) else tuple(obs_shape)
+    return np.zeros((batch,) + shape, np.float32)
+
+
+class BaseAgent:
+    """Common host plumbing; algorithm classes implement ``_update_step``."""
+
+    def __init__(self):
+        self._act_fns: Dict[str, Callable] = {}
+        self.train_state = None
+        self.device = jax.devices()[0]
+
+    # -- train/eval mode are no-ops (kept for API parity; flax is stateless)
+    def train(self):
+        return self
+
+    def eval(self):
+        return self
+
+    # ------------------------------------------------------------ inference
+    def _build_act(self, mode: str) -> Callable:
+        raise NotImplementedError
+
+    def forward(self, obs, mode: str = "explore", **kwargs) -> np.ndarray:
+        """obs (numpy tree, batched) -> actions (numpy [B, A])."""
+        if mode not in self._act_fns:
+            self._act_fns[mode] = self._build_act(mode)
+        actions, self.train_state = self._act_fns[mode](self.train_state, obs)
+        return np.asarray(actions)
+
+    def __call__(self, obs, mode: str = "explore", **kwargs):
+        return self.forward(obs, mode=mode, **kwargs)
+
+    # ------------------------------------------------------------- updates
+    def update_parameters(self, memory, updates: int) -> Dict[str, float]:
+        raise NotImplementedError
+
+    # ---------------------------------------------------------- checkpoint
+    def state_dict(self):
+        """Checkpointable pytree (params + optimizers + alpha + counters)."""
+        return jax.device_get(self.train_state)
+
+    def load_state_dict(self, state) -> None:
+        # Keep leaf dtypes/structure of the current state.
+        self.train_state = jax.tree_util.tree_map(jnp.asarray, state)
+
+    @property
+    def num_params(self) -> int:
+        if self.train_state is None:
+            return 0
+        params = getattr(self.train_state, "params", None)
+        if params is None:
+            return 0
+        return int(sum(np.prod(p.shape) for p in jax.tree_util.tree_leaves(params)))

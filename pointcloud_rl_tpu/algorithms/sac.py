@@ -1,0 +1,327 @@
+"""Soft Actor-Critic as a single jitted update step.
+
+Parity target: reference ``pyrl/methods/mfrl/sac.py`` — twin-Q targets with
+entropy bonus, MSE critic loss x num_q, interval-gated actor/alpha/target
+updates, automatic alpha tuning against a target entropy (label-smoothed for
+discrete actions), shared visual backbone with detached actor features and
+critic-side backbone training, and per-path regex EMA coefficients.
+
+TPU design: the whole update (critic + actor + alpha + target EMA) is ONE
+jitted pure function over a train-state pytree; interval gating uses
+``lax.cond`` on an in-state counter, so n_updates gradient steps run without
+host round-trips.  Under a data-parallel mesh the same function is jitted
+with sharded batch inputs and XLA inserts the gradient all-reduce.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Dict, Optional
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models import build_actor_critic
+from ..ops.augment import build_data_augmentations
+from . import MFRL
+from .base import BaseAgent, example_obs_from_shape
+from .optim import build_tau_tree, global_grad_norm, make_optimizer, soft_update
+
+
+@flax.struct.dataclass
+class SACState:
+    params: Any
+    target_params: Any
+    log_alpha: jnp.ndarray
+    actor_opt: Any
+    critic_opt: Any
+    alpha_opt: Any
+    rng: jax.Array
+    updates: jnp.ndarray  # int32 gradient-step counter
+
+
+@MFRL.register_module()
+class SAC(BaseAgent):
+    def __init__(
+        self,
+        actor_cfg,
+        critic_cfg,
+        env_params,
+        batch_size=128,
+        gamma=0.99,
+        reward_scale=1,
+        update_coeff=0.005,
+        alpha=0.2,
+        alpha_optim_cfg=None,
+        automatic_alpha_tuning=True,
+        target_entropy=None,
+        ignore_dones=False,
+        use_episode_dones=False,
+        target_update_interval=1,
+        actor_update_interval=1,
+        shared_backbone=False,
+        shared_target_backbone=None,
+        detach_actor_feature=False,
+        target_smooth=0.90,
+        pre_process=None,
+        seed: int = 0,
+        metric_prefix: str = "sac",
+    ):
+        super().__init__()
+        self.is_discrete = bool(env_params["is_discrete"])
+        self.batch_size = batch_size
+        self.gamma = float(gamma)
+        self.reward_scale = float(reward_scale)
+        self.ignore_dones = bool(ignore_dones)
+        self.use_episode_dones = bool(use_episode_dones)
+        self.target_update_interval = int(target_update_interval)
+        self.actor_update_interval = int(actor_update_interval)
+        self.automatic_alpha_tuning = bool(automatic_alpha_tuning)
+        self.shared_backbone = bool(shared_backbone)
+        self.detach_actor_feature = bool(detach_actor_feature)
+        self.metric_prefix = metric_prefix
+        self.obs_processor = build_data_augmentations(pre_process)
+
+        actor_cfg, critic_cfg = dict(actor_cfg), dict(critic_cfg)
+        actor_optim_cfg = actor_cfg.pop("optim_cfg", None)
+        critic_optim_cfg = critic_cfg.pop("optim_cfg", None)
+
+        self.model = build_actor_critic(
+            actor_cfg, critic_cfg, env_params, shared_backbone=self.shared_backbone,
+            shared_target_backbone=shared_target_backbone,
+        )
+        action_shape = env_params["action_shape"]
+
+        # ---- target entropy & alpha (sac.py:83-101) ----------------------
+        if target_entropy is None:
+            if self.is_discrete:
+                n = int(np.prod(action_shape))
+                explore_rate = (1 - target_smooth) / max(n - 1, 1)
+                self.target_entropy = -(
+                    target_smooth * np.log(target_smooth) + (n - 1) * explore_rate * np.log(explore_rate)
+                )
+                init_log_alpha = float(np.log(0.1))
+            else:
+                self.target_entropy = -float(np.prod(action_shape))
+                init_log_alpha = float(np.log(np.float32(alpha)))
+        else:
+            self.target_entropy = float(target_entropy)
+            init_log_alpha = float(np.log(np.float32(alpha)))
+        self.target_entropy = float(self.target_entropy)
+
+        # ---- init params --------------------------------------------------
+        rng = jax.random.PRNGKey(seed)
+        rng, k_init = jax.random.split(rng)
+        example_obs = example_obs_from_shape(env_params["obs_shape"], batch=1)
+        example_action = (
+            np.zeros((1, 1), np.int32) if self.is_discrete else np.zeros((1, int(np.prod(action_shape))), np.float32)
+        )
+        params = self.model.init_params(k_init, example_obs, example_action)
+        target_params = self.model.init_target_params(params)
+
+        # ---- optimizers (masked to the owning subtrees) --------------------
+        actor_mask = {"actor": True, "visual": (not self.shared_backbone) and ("visual" in params)}
+        critic_mask = {
+            "critic": True,
+            "visual": self.shared_backbone and ("visual" in params),
+            "critic_visual": "critic_visual" in params,
+        }
+        self.actor_tx = make_optimizer(actor_optim_cfg, params, extra_mask=actor_mask)
+        self.critic_tx = make_optimizer(critic_optim_cfg, params, extra_mask=critic_mask)
+        alpha_cfg = dict(alpha_optim_cfg or {"type": "Adam", "lr": 3e-4})
+        alpha_cfg.pop("param_cfg", None)
+        self.alpha_tx = make_optimizer(alpha_cfg, {"log_alpha": jnp.zeros(())})
+        self.tau_tree = build_tau_tree(update_coeff, target_params)
+
+        self.train_state = SACState(
+            params=params,
+            target_params=target_params,
+            log_alpha=jnp.asarray(init_log_alpha, jnp.float32),
+            actor_opt=self.actor_tx.init(params),
+            critic_opt=self.critic_tx.init(params),
+            alpha_opt=self.alpha_tx.init({"log_alpha": jnp.zeros(())}),
+            rng=rng,
+            updates=jnp.zeros((), jnp.int32),
+        )
+        self._update_jit = jax.jit(self._update_step, donate_argnums=(0,))
+
+    # ------------------------------------------------------------------ act
+    def _build_act(self, mode: str):
+        head_mode = {"eval": "eval", "mean": "eval"}.get(mode, "explore")
+        inference_aug = getattr(self, "inference_aug", None)
+
+        @jax.jit
+        def act(state: SACState, obs):
+            rng, k_s, k_aug = jax.random.split(state.rng, 3)
+            if inference_aug is not None and isinstance(obs, dict):
+                obs = inference_aug(k_aug, obs)
+            out, _ = self.model.actor_apply(state.params, obs, mode=head_mode, rng=k_s)
+            return out, state.replace(rng=rng)
+
+        return act
+
+    # -------------------------------------------------------------- update
+    def _prepare_batch(self, sampled: Dict[str, Any]) -> Dict[str, Any]:
+        batch = dict(sampled)
+        if self.use_episode_dones:
+            batch["dones"] = batch["episode_dones"]
+        for key in ("rewards", "dones"):
+            arr = np.asarray(batch[key])
+            if arr.ndim == 1:
+                batch[key] = arr[:, None]
+        return batch
+
+    def update_parameters(self, memory, updates: int) -> Dict[str, float]:
+        sampled = memory.sample(self.batch_size)
+        batch = self._prepare_batch(sampled)
+        self.train_state, metrics = self._update_jit(self.train_state, batch)
+        metrics = {k: float(v) for k, v in jax.device_get(metrics).items()}
+        p = self.metric_prefix
+        if metrics.pop(f"{p}/actor_updated", 1.0) < 0.5:
+            for k in (f"{p}/actor_loss", f"{p}/alpha_loss", f"{p}/entropy", f"{p}/actor_grad", f"{p}/q_match_rate"):
+                metrics.pop(k, None)
+        if not self.is_discrete:
+            metrics.pop(f"{p}/q_match_rate", None)
+        metrics[f"{p}/target_entropy"] = self.target_entropy
+        metrics[f"{p}/grad_steps"] = 1
+        return metrics
+
+    # -------------------------------------------------- the jitted core
+    def _compute_q_target(self, params, target_params, log_alpha, batch, rng):
+        """Entropy-regularized min-over-heads bootstrap target (sac.py:110-134)."""
+        model = self.model
+        alpha = jnp.exp(log_alpha)
+        if self.is_discrete:
+            (probs, ent), _ = model.actor_apply(params, batch["next_obs"], mode="max-entropy", rng=rng)
+            q_next = model.target_critic_apply(params, target_params, batch["next_obs"], actions_prob=probs)
+            neg_logp = ent
+        else:
+            (next_actions, neg_logp), _ = model.actor_apply(params, batch["next_obs"], mode="max-entropy", rng=rng)
+            q_next = model.target_critic_apply(params, target_params, batch["next_obs"], actions=next_actions)
+        min_q_next = q_next.min(axis=-1, keepdims=True) + alpha * neg_logp
+        rewards = batch["rewards"] * self.reward_scale
+        if self.ignore_dones:
+            q_target = rewards + self.gamma * min_q_next
+        else:
+            q_target = rewards + (1.0 - batch["dones"].astype(jnp.float32)) * self.gamma * min_q_next
+        return jax.lax.stop_gradient(q_target)  # [B, 1]
+
+    def _critic_step(self, params, critic_opt, batch, q_target, critic_obs=None, critic_actions=None):
+        model = self.model
+        obs = batch["obs"] if critic_obs is None else critic_obs
+        actions = batch["actions"] if critic_actions is None else critic_actions
+
+        def loss_fn(p):
+            q = model.critic_apply(p, obs, actions=actions)  # [B, num_q]
+            loss = jnp.mean((q - q_target) ** 2) * model.num_q
+            return loss, q
+
+        (loss, q), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        upd, critic_opt = self.critic_tx.update(grads, critic_opt, params)
+        params = jax.tree_util.tree_map(lambda p, u: p + u, params, upd)
+        gnorm = global_grad_norm(grads, mask_keys={"critic", "visual", "critic_visual"} if self.shared_backbone else {"critic", "critic_visual"})
+        err = jnp.abs(q - q_target).max()
+        return params, critic_opt, loss, q, gnorm, err
+
+    def _actor_alpha_step(self, params, actor_opt, log_alpha, alpha_opt, batch, rng, actor_obs=None):
+        model = self.model
+        obs = batch["obs"] if actor_obs is None else actor_obs
+        alpha = jax.lax.stop_gradient(jnp.exp(log_alpha))
+
+        def loss_fn(p):
+            (pi, neg_logp), feat = model.actor_apply(
+                p, obs, mode="max-entropy", rng=rng, detach_visual=self.detach_actor_feature
+            )
+            entropy_term = neg_logp.mean()
+            q_match = jnp.zeros(())
+            if self.is_discrete:
+                q_table = model.critic_apply(p, obs, detach_value=True)  # [B, num_q, A]
+                q_min = q_table.min(axis=-2)
+                q_pi = (q_min * pi).sum(-1).mean()
+                q_match = (jnp.argmax(pi, -1) == jnp.argmax(q_min, -1)).astype(jnp.float32).mean()
+            else:
+                vf = jax.lax.stop_gradient(feat) if (self.shared_backbone and feat is not None) else None
+                q_pi_all = model.critic_apply(p, obs, actions=pi, visual_feature=vf)
+                q_pi = q_pi_all.min(axis=-1).mean()
+            loss = -(q_pi + alpha * entropy_term)
+            return loss, (entropy_term, q_match)
+
+        (actor_loss, (entropy_term, q_match)), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        upd, actor_opt = self.actor_tx.update(grads, actor_opt, params)
+        params = jax.tree_util.tree_map(lambda p, u: p + u, params, upd)
+        actor_gnorm = global_grad_norm(grads, mask_keys={"actor"} | (set() if self.shared_backbone else {"visual"}))
+
+        if self.automatic_alpha_tuning:
+            ent_sg = jax.lax.stop_gradient(entropy_term)
+
+            def alpha_loss_fn(la):
+                return jnp.exp(la["log_alpha"]) * (ent_sg - self.target_entropy)
+
+            alpha_loss, a_grads = jax.value_and_grad(alpha_loss_fn)({"log_alpha": log_alpha})
+            a_upd, alpha_opt = self.alpha_tx.update(a_grads, alpha_opt, {"log_alpha": log_alpha})
+            log_alpha = log_alpha + a_upd["log_alpha"]
+        else:
+            alpha_loss = jnp.zeros(())
+        return params, actor_opt, log_alpha, alpha_opt, actor_loss, alpha_loss, entropy_term, actor_gnorm, q_match
+
+    def _update_step(self, state: SACState, batch):
+        p = self.metric_prefix
+        rng, k_next, k_pi = jax.random.split(state.rng, 3)
+        q_target = self._compute_q_target(state.params, state.target_params, state.log_alpha, batch, k_next)
+        params, critic_opt, critic_loss, q, critic_gnorm, abs_err = self._critic_step(
+            state.params, state.critic_opt, batch, q_target
+        )
+
+        def do_actor(operand):
+            params, aopt, la, laopt = operand
+            out = self._actor_alpha_step(params, aopt, la, laopt, batch, k_pi)
+            (params, aopt, la, laopt, a_loss, al_loss, ent, a_g, qm) = out
+            return params, aopt, la, laopt, (a_loss, al_loss, ent, a_g, qm, jnp.ones(()))
+
+        def skip_actor(operand):
+            params, aopt, la, laopt = operand
+            z = jnp.zeros(())
+            return params, aopt, la, laopt, (z, z, z, z, z, z)
+
+        params, actor_opt, log_alpha, alpha_opt, actor_metrics = jax.lax.cond(
+            state.updates % self.actor_update_interval == 0,
+            do_actor,
+            skip_actor,
+            (params, state.actor_opt, state.log_alpha, state.alpha_opt),
+        )
+        a_loss, al_loss, ent, a_gnorm, q_match, actor_updated = actor_metrics
+
+        target_params = jax.lax.cond(
+            state.updates % self.target_update_interval == 0,
+            lambda t: soft_update(t, params, self.tau_tree),
+            lambda t: t,
+            state.target_params,
+        )
+
+        new_state = state.replace(
+            params=params,
+            target_params=target_params,
+            log_alpha=log_alpha,
+            actor_opt=actor_opt,
+            critic_opt=critic_opt,
+            alpha_opt=alpha_opt,
+            rng=rng,
+            updates=state.updates + 1,
+        )
+        metrics = {
+            f"{p}/critic_loss": critic_loss,
+            f"{p}/max_critic_abs_err": abs_err,
+            f"{p}/alpha": jnp.exp(log_alpha),
+            f"{p}/q": q.min(axis=-1).mean(),
+            f"{p}/q_target": q_target.mean(),
+            f"{p}/critic_grad": critic_gnorm,
+            f"{p}/actor_loss": a_loss,
+            f"{p}/alpha_loss": al_loss,
+            f"{p}/entropy": ent,
+            f"{p}/actor_grad": a_gnorm,
+            f"{p}/q_match_rate": q_match,
+            f"{p}/actor_updated": actor_updated,
+        }
+        return new_state, metrics
