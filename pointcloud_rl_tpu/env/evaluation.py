@@ -1,0 +1,151 @@
+"""Deterministic policy evaluation with episode accounting.
+
+Parity target: reference ``pyrl/env/evaluation.py`` — its own vec env,
+slot-reuse episode bookkeeping (a finished env immediately takes the next
+episode index), deterministic ``mode="eval"`` actions, optional mp4 videos
+(imageio) and HDF5 trajectory dumps with env states, fixed eval level lists
+from JSON/CSV, and a ``statistics.csv`` summary.
+"""
+
+from __future__ import annotations
+
+import csv
+import os
+import os.path as osp
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+from ..utils.logger import get_logger
+from .builder import EVALUATIONS, build_vec_env
+
+
+def save_eval_statistics(work_dir: Optional[str], lens, rewards, finishes, logger=None) -> None:
+    """statistics.csv + summary line (reference evaluation.py:25-49)."""
+    logger = logger or get_logger("pcrl.eval")
+    lens, rewards, finishes = np.asarray(lens), np.asarray(rewards), np.asarray(finishes)
+    logger.info(
+        f"Num of trails: {len(lens):.2f}, "
+        f"Length: {lens.mean():.2f}±{lens.std():.2f}, "
+        f"Reward: {rewards.mean():.2f}±{rewards.std():.2f}, "
+        f"Success or Early Stop Rate: {finishes.mean():.2f}±{finishes.std():.2f}"
+    )
+    if work_dir is not None:
+        os.makedirs(work_dir, exist_ok=True)
+        with open(osp.join(work_dir, "statistics.csv"), "w", newline="") as f:
+            writer = csv.writer(f)
+            writer.writerow(["length", "reward", "finish"])
+            for l, r, fin in zip(lens, rewards, finishes):
+                writer.writerow([int(l), float(r), int(fin)])
+
+
+@EVALUATIONS.register_module()
+class Evaluation:
+    def __init__(
+        self,
+        env_cfg: dict,
+        num_procs: int = 1,
+        num: int = 1,
+        use_hidden_state: bool = False,
+        save_traj: bool = False,
+        save_video: bool = False,
+        log_every_step: bool = False,
+        eval_levels: Optional[List] = None,
+        seed: Optional[int] = None,
+        **kwargs,
+    ):
+        self.vec_env = build_vec_env(env_cfg, num_procs, base_seed=seed)
+        self.num_envs = self.vec_env.num_envs
+        self.num = num
+        self.save_traj = save_traj
+        self.save_video = save_video
+        self.log_every_step = log_every_step
+        self.logger = get_logger("pcrl.eval")
+        if isinstance(eval_levels, str):
+            eval_levels = self._load_levels(eval_levels)
+        self.eval_levels = eval_levels
+
+    @staticmethod
+    def _load_levels(path: str) -> List:
+        import json
+
+        if path.endswith(".json"):
+            with open(path) as f:
+                return json.load(f)
+        with open(path) as f:
+            return [int(x) for line in f for x in line.strip().split(",") if x]
+
+    def run(self, pi, num: Optional[int] = None, work_dir: Optional[str] = None, **kwargs) -> Tuple[List, List, List]:
+        """Run ``num`` deterministic episodes; returns (lens, rewards, finishes)
+        with slot reuse across the vec env (reference evaluation.py:99-250)."""
+        num = num or self.num
+        video_writers = [None] * self.num_envs
+
+        def _start_video(slot, episode_idx):
+            if not self.save_video or work_dir is None:
+                return None
+            import imageio
+
+            os.makedirs(work_dir, exist_ok=True)
+            return imageio.get_writer(
+                osp.join(work_dir, f"episode_{episode_idx}.mp4"), fps=20, format="FFMPEG", codec="libx264"
+            )
+
+        # episode index currently being run in each env slot
+        episode_idx = list(range(min(self.num_envs, num)))
+        next_episode = len(episode_idx)
+        lens = [0] * num
+        rewards = [0.0] * num
+        finishes = [False] * num
+
+        reset_kwargs = {}
+        if self.eval_levels is not None:
+            reset_kwargs["level"] = [self.eval_levels[i % len(self.eval_levels)] for i in episode_idx]
+        obs = self.vec_env.reset(**reset_kwargs)
+        for slot, ep in enumerate(episode_idx):
+            video_writers[slot] = _start_video(slot, ep)
+            if video_writers[slot] is not None:
+                frame = self.vec_env.render(idx=[slot])
+                video_writers[slot].append_data(np.asarray(frame[0]) if isinstance(frame, list) else np.asarray(frame))
+
+        num_finished = 0
+        while num_finished < num:
+            actions = pi(self.vec_env.recent_obs, mode="eval")
+            trans = self.vec_env.step_dict(np.asarray(actions), restart=False)
+            for slot in range(self.num_envs):
+                ep = episode_idx[slot]
+                if ep is None or ep >= num:
+                    continue
+                lens[ep] += 1
+                rewards[ep] += float(trans["rewards"][slot, 0])
+                if video_writers[slot] is not None:
+                    frame = self.vec_env.render(idx=[slot])
+                    video_writers[slot].append_data(np.asarray(frame[0]) if isinstance(frame, list) else np.asarray(frame))
+                if self.log_every_step:
+                    self.logger.info(f"episode {ep} step {lens[ep]} reward {rewards[ep]:.3f}")
+                if bool(trans["episode_dones"][slot, 0]):
+                    # "finish" = terminated before the time limit (success/early stop)
+                    finishes[ep] = bool(trans["dones"][slot, 0])
+                    num_finished += 1
+                    if video_writers[slot] is not None:
+                        video_writers[slot].close()
+                        video_writers[slot] = None
+                    if next_episode < num:
+                        episode_idx[slot] = next_episode
+                        rk = {}
+                        if self.eval_levels is not None:
+                            rk["level"] = self.eval_levels[next_episode % len(self.eval_levels)]
+                        self.vec_env.reset(idx=[slot], **rk)
+                        video_writers[slot] = _start_video(slot, next_episode)
+                        next_episode += 1
+                    else:
+                        episode_idx[slot] = None
+        for w in video_writers:
+            if w is not None:
+                w.close()
+        if work_dir is not None:
+            save_eval_statistics(work_dir, lens, rewards, finishes, self.logger)
+        return lens, rewards, finishes
+
+    def close(self):
+        self.vec_env.close()

@@ -1,0 +1,194 @@
+"""Replay memory: preallocated host ring buffer over transition trees.
+
+Parity target: reference ``pyrl/env/replay_buffer.py`` — lazy allocation
+from the first pushed batch, wraparound ``push_batch``, per-worker trajectory
+caching for full-episode pushes, uniform sampling through a strategy object,
+HDF5 import/export, and ``tail``/``get_all`` views.
+
+Design note: the buffer lives in host RAM as numpy (env workers write it);
+the jitted update consumes sampled batches via device_put.  An HBM-resident
+variant for on-device sampling lives in parallel/device_replay.py.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, List, Optional
+
+import numpy as np
+
+from ..utils.tree_ops import (
+    first_leaf,
+    tree_assign,
+    tree_concat,
+    tree_empty_like_with_capacity,
+    tree_map,
+    tree_slice,
+    tree_take,
+)
+from .builder import REPLAYS, build_sampling
+
+_SKIP_KEYS = ("infos",)
+
+
+@REPLAYS.register_module()
+class ReplayMemory:
+    def __init__(
+        self,
+        capacity: int,
+        sampling_cfg: Optional[dict] = None,
+        buffer_filenames: Optional[List[str]] = None,
+        keys: Optional[List[str]] = None,
+        seed: Optional[int] = None,
+    ):
+        self.capacity = int(capacity)
+        self.memory = None
+        self.position = 0
+        self.running_count = 0
+        self.keys = keys
+        sampling_cfg = dict(sampling_cfg or {"type": "OneStepTransition"})
+        sampling_cfg.setdefault("seed", seed)
+        self.sampling = build_sampling(sampling_cfg)
+        self._traj_cache: Dict[int, List[dict]] = {}
+        if buffer_filenames:
+            for fn in buffer_filenames:
+                self.load_hdf5(fn)
+
+    # ----------------------------------------------------------- properties
+    def __len__(self) -> int:
+        return min(self.running_count, self.capacity)
+
+    @property
+    def size(self) -> int:
+        return len(self)
+
+    def reset(self) -> None:
+        self.position = 0
+        self.running_count = 0
+        if self.sampling is not None:
+            self.sampling.reset()
+
+    # ----------------------------------------------------------------- push
+    def _clean(self, items: Dict[str, Any]) -> Dict[str, Any]:
+        items = {k: v for k, v in items.items() if k not in _SKIP_KEYS}
+        if self.keys is not None:
+            items = {k: v for k, v in items.items() if k in self.keys}
+        return items
+
+    def push_batch(self, items: Dict[str, Any]) -> None:
+        """Append a [B, ...] transition batch with ring wraparound
+        (reference replay_buffer.py:206-231)."""
+        items = self._clean(items)
+        batch = len(first_leaf(items))
+        if batch > self.capacity:
+            items = tree_slice(items, slice(0, self.capacity))
+            batch = self.capacity
+        if self.memory is None:
+            self.memory = tree_empty_like_with_capacity(items, self.capacity)
+        end = self.position + batch
+        if end <= self.capacity:
+            tree_assign(self.memory, slice(self.position, end), items)
+        else:
+            first = self.capacity - self.position
+            tree_assign(self.memory, slice(self.position, self.capacity), tree_slice(items, slice(0, first)))
+            tree_assign(self.memory, slice(0, end - self.capacity), tree_slice(items, slice(first, batch)))
+        self.position = end % self.capacity
+        self.running_count += batch
+
+    def push(self, item: Dict[str, Any]) -> None:
+        self.push_batch(tree_map(lambda x: np.asarray(x)[None], item))
+
+    # ---------------------------------------------- full-episode trajectory
+    def cache_trajectories(self, items: Dict[str, Any], max_push: int = -1) -> int:
+        """Cache per-worker transitions; push completed episodes
+        (reference replay_buffer.py:233-287).  Returns #transitions pushed."""
+        items = self._clean(items)
+        worker_ids = np.asarray(items["worker_indices"]).reshape(-1)
+        pushed = 0
+        for row, wid in enumerate(worker_ids):
+            wid = int(wid)
+            tr = tree_slice(items, slice(row, row + 1))
+            self._traj_cache.setdefault(wid, []).append(tr)
+            if bool(np.asarray(tr["episode_dones"]).reshape(-1)[0]):
+                episode = tree_concat(self._traj_cache.pop(wid), 0)
+                n = len(first_leaf(episode))
+                if max_push >= 0 and pushed + n > max_push:
+                    n_take = max_push - pushed
+                    if n_take <= 0:
+                        continue
+                    episode = tree_slice(episode, slice(0, n_take))
+                    n = n_take
+                self.push_batch(episode)
+                pushed += n
+        return pushed
+
+    def push_cached_trajectories(self, max_push: int = -1) -> int:
+        """Flush incomplete cached trajectories (straggler cutoff path)."""
+        pushed = 0
+        for wid in list(self._traj_cache):
+            parts = self._traj_cache.pop(wid)
+            if not parts:
+                continue
+            episode = tree_concat(parts, 0)
+            n = len(first_leaf(episode))
+            if max_push >= 0:
+                n = min(n, max_push - pushed)
+                if n <= 0:
+                    continue
+                episode = tree_slice(episode, slice(0, n))
+            self.push_batch(episode)
+            pushed += n
+        return pushed
+
+    # --------------------------------------------------------------- sample
+    def sample(self, batch_size: int) -> Dict[str, Any]:
+        idx = self.sampling.sample(batch_size, len(self), self.capacity)
+        return tree_take(self.memory, idx)
+
+    def tail(self, num: int) -> Dict[str, Any]:
+        """The most recent num transitions in push order."""
+        num = min(num, len(self))
+        idx = (np.arange(self.position - num, self.position)) % self.capacity
+        return tree_take(self.memory, idx)
+
+    def get_all(self) -> Dict[str, Any]:
+        return tree_slice(self.memory, slice(0, len(self)))
+
+    def mini_batch_sampler(self, batch_size: int, drop_last: bool = False, shuffle: bool = True):
+        """Epoch iterator over the whole buffer (reference replay_buffer.py:324)."""
+        n = len(self)
+        order = np.random.permutation(n) if shuffle else np.arange(n)
+        for s in range(0, n, batch_size):
+            chunk = order[s : s + batch_size]
+            if drop_last and len(chunk) < batch_size:
+                return
+            yield tree_take(self.memory, chunk)
+
+    # ----------------------------------------------------------------- hdf5
+    def to_hdf5(self, filename: str) -> None:
+        import h5py
+
+        data = self.get_all()
+        with h5py.File(filename, "w") as f:
+
+            def _dump(group, tree):
+                for k, v in tree.items():
+                    if isinstance(v, dict):
+                        _dump(group.create_group(k), v)
+                    else:
+                        group.create_dataset(k, data=v, compression="gzip")
+
+            _dump(f, data)
+
+    def load_hdf5(self, filename: str) -> None:
+        import h5py
+
+        with h5py.File(filename, "r") as f:
+
+            def _load(group):
+                out = {}
+                for k, v in group.items():
+                    out[k] = _load(v) if hasattr(v, "items") else np.asarray(v)
+                return out
+
+            data = _load(f)
+        self.push_batch(data)

@@ -1,0 +1,124 @@
+"""Sample collection driving vec envs with a policy.
+
+Parity target: reference ``pyrl/env/rollout.py`` — random-action warm-up
+(``forward_with_policy(None, n)``), batched policy stepping with per-phase
+timers (simulation / agent / copy / overhead) and FPS logging, and a
+full-episode mode that caches trajectories until done before pushing
+(ManiSkill path).  Host-side mutable state (recent obs, auto-reset) lives in
+the vec env; the policy forward is the jitted actor.
+"""
+
+from __future__ import annotations
+
+from collections import defaultdict
+from typing import Any, Dict, Optional
+
+import numpy as np
+
+from ..utils.logger import get_logger
+from ..utils.timer import Timer
+from .builder import ROLLOUTS, build_vec_env
+
+
+@ROLLOUTS.register_module()
+class Rollout:
+    def __init__(
+        self,
+        env_cfg: dict,
+        num_procs: int = 1,
+        with_info: bool = False,
+        full_episode: bool = False,
+        base_seed: Optional[int] = None,
+        **kwargs,
+    ):
+        self.vec_env = build_vec_env(env_cfg, num_procs, base_seed=base_seed)
+        self.num_envs = self.vec_env.num_envs
+        self.full_episode = full_episode
+        self.with_info = with_info
+        self.timer = Timer()
+        self.logger = get_logger("pcrl.rollout")
+        self.vec_env.reset()
+
+    @property
+    def recent_obs(self):
+        return self.vec_env.recent_obs
+
+    def reset(self, **kwargs):
+        return self.vec_env.reset(**kwargs)
+
+    def random_action(self):
+        return self.vec_env.random_actions()
+
+    def forward_with_policy(self, pi, num: int, replay=None, on_policy: bool = False) -> Dict[str, Any]:
+        """Collect ``num`` env steps; push transitions into ``replay``.
+
+        pi=None -> uniform random actions built in-env (warm-up,
+        reference rollout.py:54-65).  Returns the last collected batch dict
+        plus timing info under "_stats".
+        """
+        self.timer.reset()
+        if pi is None:
+            assert replay is not None
+            ret = self.vec_env.step_random_actions(num)
+            replay.push_batch(ret)
+            self.timer.tick("simulation")
+            return {"_stats": self._stats(num)}
+
+        if self.full_episode:
+            return self._forward_full_episodes(pi, num, replay)
+
+        assert num % self.num_envs == 0, (
+            f"num ({num}) must be divisible by num_envs ({self.num_envs}) for synchronized stepping"
+        )
+        steps = num // self.num_envs
+        last = None
+        for _ in range(steps):
+            self.timer.skip()
+            actions = pi(self.recent_obs, mode="explore")
+            self.timer.tick("agent")
+            trans = self.vec_env.step_dict(np.asarray(actions))
+            self.timer.tick("simulation")
+            if replay is not None:
+                replay.push_batch(trans)
+            self.timer.tick("copy")
+            last = trans
+        if last is not None:
+            last = dict(last)
+            last["_stats"] = self._stats(num)
+        return last
+
+    def _forward_full_episodes(self, pi, num: int, replay) -> Dict[str, Any]:
+        """Cache per-worker trajectories; only full episodes enter the replay
+        (reference rollout.py:116-283)."""
+        total = 0
+        last = None
+        while total < num:
+            self.timer.skip()
+            actions = pi(self.recent_obs, mode="explore")
+            self.timer.tick("agent")
+            trans = self.vec_env.step_dict(np.asarray(actions))
+            self.timer.tick("simulation")
+            pushed = replay.cache_trajectories(trans, max_push=num - total)
+            total += pushed
+            self.timer.tick("copy")
+            last = trans
+        if last is not None:
+            last = dict(last)
+            last["_stats"] = self._stats(num)
+        return last
+
+    def _stats(self, num: int) -> Dict[str, float]:
+        t = self.timer.todict()
+        total = max(self.timer.total(), 1e-9)
+        stats = {
+            "simulation_time": t.get("simulation", 0.0),
+            "agent_time": t.get("agent", 0.0),
+            "copy_time": t.get("copy", 0.0),
+            "overhead_time": max(total - sum(t.values()), 0.0),
+            "fps": num / total,
+            "num_steps": num,
+        }
+        return stats
+
+    def close(self):
+        self.vec_env.close()

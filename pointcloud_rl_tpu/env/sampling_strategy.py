@@ -1,0 +1,80 @@
+"""Replay sampling strategies.
+
+Parity target: reference ``pyrl/env/sampling_strategy.py`` —
+``OneStepTransition`` uniform iid sampling with optional no-replacement
+shuffled epochs; ``TStepTransition`` horizon windows for recurrent policies.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+from .builder import SAMPLING
+
+
+@SAMPLING.register_module()
+class OneStepTransition:
+    def __init__(self, with_replacement: bool = True, no_random: bool = False, seed: Optional[int] = None):
+        self.with_replacement = with_replacement
+        self.no_random = no_random
+        self.rng = np.random.RandomState(seed)
+        self._epoch_order = None
+        self._epoch_pos = 0
+        self.horizon = 1
+
+    def reset(self) -> None:
+        self._epoch_order = None
+        self._epoch_pos = 0
+
+    def sample(self, batch_size: int, size: int, capacity: int) -> np.ndarray:
+        """Return [B] flat indices into the valid region [0, size)."""
+        assert size > 0, "Cannot sample from an empty buffer"
+        if self.no_random:
+            idx = (np.arange(batch_size) + self._epoch_pos) % size
+            self._epoch_pos = (self._epoch_pos + batch_size) % size
+            return idx
+        if self.with_replacement:
+            return self.rng.randint(0, size, batch_size)
+        if self._epoch_order is None or self._epoch_pos + batch_size > len(self._epoch_order):
+            self._epoch_order = self.rng.permutation(size)
+            self._epoch_pos = 0
+        out = self._epoch_order[self._epoch_pos : self._epoch_pos + batch_size]
+        self._epoch_pos += batch_size
+        return out
+
+
+@SAMPLING.register_module()
+class TStepTransition:
+    """Fixed-horizon windows per worker episode (reference
+    sampling_strategy.py:105-246).  Returns [B, H] indices + padding mask;
+    horizon=-1 samples whole episodes.  Used by recurrent policies."""
+
+    def __init__(self, horizon: int = 1, seed: Optional[int] = None):
+        self.horizon = horizon
+        self.rng = np.random.RandomState(seed)
+
+    def reset(self) -> None:
+        pass
+
+    def sample_windows(self, batch_size: int, episode_spans: List[Tuple[int, int]]):
+        """episode_spans: list of (start, end) flat index ranges (end exclusive)."""
+        assert episode_spans, "No complete episodes available"
+        H = self.horizon
+        starts, masks = [], []
+        span_idx = self.rng.randint(0, len(episode_spans), batch_size)
+        idx = np.zeros((batch_size, max(H, 1)), np.int64)
+        mask = np.zeros((batch_size, max(H, 1)), bool)
+        for b, si in enumerate(span_idx):
+            s, e = episode_spans[si]
+            length = e - s
+            if H == -1 or H >= length:
+                take = min(length, idx.shape[1])
+                idx[b, :take] = np.arange(s, s + take)
+                mask[b, :take] = True
+            else:
+                t0 = self.rng.randint(s, e - H + 1)
+                idx[b] = np.arange(t0, t0 + H)
+                mask[b] = True
+        return idx, mask

@@ -1,0 +1,373 @@
+"""Vectorized environments: in-process and subprocess workers.
+
+Parity target: reference ``pyrl/env/vec_env.py`` + ``pyrl/utils/meta/
+parallel_runner.py`` — N env workers stepped in parallel, a
+``UnifiedVectorEnvAPI`` wrapper that tracks recent_obs / recent_actions /
+prev_actions / episode_dones, auto-resets done envs, and emits the 9-key
+transition dict {obs, next_obs, prev_actions, actions, rewards, dones,
+episode_dones, infos(worker-lite), worker_indices} consumed by the replay.
+
+Transport: worker processes communicate over pipes (obs payloads are small:
+point clouds are a few hundred KB per step across all workers).  A
+shared-memory fast path can be layered underneath without changing this API.
+"""
+
+from __future__ import annotations
+
+import multiprocessing as mp
+import os
+from typing import Any, Dict, List, Optional
+
+import numpy as np
+
+from ..utils.tree_ops import tree_concat, tree_expand, tree_map, tree_slice, tree_stack
+from .api import Env, true_done
+from .spaces import stack_action_space
+
+
+# ---------------------------------------------------------------- workers
+def _worker_loop(env_fn_cfg, worker_seed, conn):
+    """Subprocess body: build env, serve commands over the pipe."""
+    # Env workers must not oversubscribe BLAS threads.
+    for var in ("OMP_NUM_THREADS", "OPENBLAS_NUM_THREADS", "MKL_NUM_THREADS"):
+        os.environ[var] = "1"
+    from .builder import build_env
+
+    env = build_env(env_fn_cfg)
+    if worker_seed is not None:
+        env.seed(worker_seed)
+    try:
+        while True:
+            cmd, payload = conn.recv()
+            if cmd == "reset":
+                conn.send(env.reset(**(payload or {})))
+            elif cmd == "step":
+                conn.send(env.step(payload))
+            elif cmd == "call":
+                name, args, kwargs = payload
+                conn.send(getattr(env, name)(*args, **(kwargs or {})))
+            elif cmd == "getattr":
+                conn.send(getattr(env, payload))
+            elif cmd == "seed":
+                env.seed(payload)
+                conn.send(None)
+            elif cmd == "exit":
+                conn.send(None)
+                break
+    finally:
+        env.close()
+        conn.close()
+
+
+class EnvWorker:
+    """Handle to one subprocess env (reference Worker, parallel_runner.py:14)."""
+
+    def __init__(self, env_cfg, seed=None, ctx=None):
+        ctx = ctx or mp.get_context("fork")
+        self.conn, child = ctx.Pipe()
+        self.proc = ctx.Process(target=_worker_loop, args=(env_cfg, seed, child), daemon=True)
+        self.proc.start()
+        child.close()
+        self._pending = False
+
+    def send(self, cmd, payload=None):
+        assert not self._pending, "Worker already has a pending command"
+        self.conn.send((cmd, payload))
+        self._pending = True
+
+    def recv(self):
+        assert self._pending, "No pending command"
+        self._pending = False
+        return self.conn.recv()
+
+    def ask(self, cmd, payload=None):
+        self.send(cmd, payload)
+        return self.recv()
+
+    def close(self):
+        try:
+            if self.proc.is_alive():
+                self.send("exit")
+                self.recv()
+                self.proc.join(timeout=5)
+        except (BrokenPipeError, EOFError):
+            pass
+        if self.proc.is_alive():
+            self.proc.terminate()
+
+
+# ------------------------------------------------------------- vec bases
+class VectorEnvBase(Env):
+    num_envs: int
+
+    def reset(self, idx=None, **kwargs):
+        raise NotImplementedError
+
+    def step(self, actions, idx=None):
+        raise NotImplementedError
+
+
+class SingleEnv2VecEnv(VectorEnvBase):
+    """In-process single env exposed as a 1-env vec env
+    (reference vec_env.py:349)."""
+
+    def __init__(self, env_cfgs, seed=None):
+        from .builder import build_env
+
+        assert len(env_cfgs) == 1
+        self._env = build_env(env_cfgs[0])
+        if seed is not None:
+            self._env.seed(seed)
+        self.num_envs = 1
+        self.single_action_space = self._env.action_space
+        self.action_space = stack_action_space(self._env.action_space, 1)
+        self.is_discrete = getattr(self._env, "is_discrete", False)
+        self.reward_scale = getattr(self._env, "reward_scale", 1.0)
+
+    def reset(self, idx=None, **kwargs):
+        return tree_expand(self._env.reset(**kwargs), 0)
+
+    def step(self, actions, idx=None):
+        obs, r, d, info = self._env.step(actions[0])
+        return (
+            tree_expand(obs, 0),
+            np.array([[np.float32(r)]]),
+            np.array([[bool(d)]]),
+            [info],
+        )
+
+    def step_random_actions(self, num):
+        out = self._env.step_random_actions(num)
+        return out
+
+    def render(self, mode="rgb_array", idx=None, **kwargs):
+        return self._env.render(mode, **kwargs)
+
+    def get_env_state(self):
+        return [self._env.get_env_state()]
+
+    def call(self, name, *args, idx=None, **kwargs):
+        return [getattr(self._env, name)(*args, **kwargs)]
+
+    def get_attr(self, name, idx=None):
+        return getattr(self._env, name)
+
+    def seed(self, seed):
+        self._env.seed(seed)
+
+    def close(self):
+        self._env.close()
+
+
+class VectorEnv(VectorEnvBase):
+    """N subprocess envs (reference vec_env.py:412)."""
+
+    def __init__(self, env_cfgs, seeds: Optional[List[int]] = None):
+        self.num_envs = len(env_cfgs)
+        seeds = seeds or [None] * self.num_envs
+        ctx = mp.get_context("fork")
+        self.workers = [EnvWorker(cfg, seed, ctx) for cfg, seed in zip(env_cfgs, seeds)]
+        self.single_action_space = self.workers[0].ask("getattr", "action_space")
+        self.action_space = stack_action_space(self.single_action_space, self.num_envs)
+        self.is_discrete = self.workers[0].ask("getattr", "is_discrete")
+        self.reward_scale = self.workers[0].ask("getattr", "reward_scale")
+
+    def _idx(self, idx):
+        return np.arange(self.num_envs) if idx is None else np.asarray(idx)
+
+    def reset(self, idx=None, level=None, **kwargs):
+        idx = self._idx(idx)
+        for rank, i in enumerate(idx):
+            kw = dict(kwargs)
+            if level is not None:
+                kw["level"] = level[rank] if isinstance(level, (list, np.ndarray)) else level
+            self.workers[i].send("reset", kw)
+        obs = [self.workers[i].recv() for i in idx]
+        return tree_stack(obs, 0)
+
+    def step(self, actions, idx=None):
+        idx = self._idx(idx)
+        for rank, i in enumerate(idx):
+            self.workers[i].send("step", actions[rank])
+        results = [self.workers[i].recv() for i in idx]
+        obs = tree_stack([r[0] for r in results], 0)
+        rewards = np.array([[np.float32(r[1])] for r in results])
+        dones = np.array([[bool(r[2])] for r in results])
+        infos = [r[3] for r in results]
+        return obs, rewards, dones, infos
+
+    def step_random_actions(self, num):
+        from ..utils.stats import split_num
+
+        counts = split_num(num, self.num_envs)
+        for i, n in enumerate(counts):
+            if n > 0:
+                self.workers[i].send("call", ("step_random_actions", (n,), {}))
+        outs = []
+        for i, n in enumerate(counts):
+            if n > 0:
+                out = self.workers[i].recv()
+                out["worker_indices"] = np.full_like(out["worker_indices"], i)
+                outs.append(out)
+        return tree_concat(outs, 0)
+
+    def render(self, mode="rgb_array", idx=None, **kwargs):
+        idx = self._idx(idx)
+        for i in idx:
+            self.workers[i].send("call", ("render", (mode,), kwargs))
+        return [self.workers[i].recv() for i in idx]
+
+    def get_env_state(self):
+        for w in self.workers:
+            w.send("call", ("get_env_state", (), {}))
+        return [w.recv() for w in self.workers]
+
+    def call(self, name, *args, idx=None, **kwargs):
+        idx = self._idx(idx)
+        for i in idx:
+            self.workers[i].send("call", (name, args, kwargs))
+        return [self.workers[i].recv() for i in idx]
+
+    def get_attr(self, name, idx=None):
+        return self.workers[self._idx(idx)[0]].ask("getattr", name)
+
+    def seed(self, seed):
+        for i, w in enumerate(self.workers):
+            w.ask("seed", seed + i)
+
+    def close(self):
+        for w in self.workers:
+            w.close()
+
+
+class UnifiedVectorEnvAPI(VectorEnvBase):
+    """Caches recent obs/actions, auto-resets, builds transition dicts
+    (reference vec_env.py:38-246)."""
+
+    def __init__(self, vec_env: VectorEnvBase):
+        self.vec_env = vec_env
+        self.num_envs = vec_env.num_envs
+        self.action_space = vec_env.action_space
+        self.single_action_space = vec_env.single_action_space
+        self.is_discrete = vec_env.is_discrete
+        self.reward_scale = getattr(vec_env, "reward_scale", 1.0)
+
+        self.recent_obs = None
+        self.recent_actions = None
+        self.prev_actions = None
+        self.episode_dones = np.ones((self.num_envs, 1), bool)
+        self._action_dim = None
+
+    def _zero_actions(self) -> np.ndarray:
+        if self.is_discrete:
+            return np.zeros((self.num_envs, 1), np.int32)
+        sample = np.asarray(self.vec_env.single_action_space.sample())
+        return np.zeros((self.num_envs,) + sample.shape, np.float32)
+
+    def reset(self, idx=None, **kwargs):
+        obs = self.vec_env.reset(idx=idx, **kwargs)
+        if idx is None or self.recent_obs is None:
+            self.recent_obs = obs
+            self.recent_actions = self._zero_actions()
+            self.prev_actions = self._zero_actions()
+            self.episode_dones = np.zeros((self.num_envs, 1), bool)
+        else:
+            idx = np.asarray(idx)
+            tree_map(lambda dst, src: dst.__setitem__(idx, src), self.recent_obs, obs)
+            self.recent_actions[idx] = 0
+            self.prev_actions[idx] = 0
+            self.episode_dones[idx] = False
+        return self.recent_obs
+
+    def step(self, actions, idx=None):
+        assert idx is None, "Partial stepping handled via step_dict(idx=...)"
+        return self.vec_env.step(actions)
+
+    def step_dict(self, actions, restart: bool = True) -> Dict[str, Any]:
+        """One synchronized vec step -> 9-key transition dict
+        (reference vec_env.py:194-226)."""
+        actions = np.asarray(actions)
+        obs = tree_map(lambda x: x.copy(), self.recent_obs)
+        self.prev_actions = self.recent_actions.copy()
+        self.recent_actions = actions.copy()
+
+        next_obs, rewards, dones, infos = self.vec_env.step(actions)
+        self.episode_dones = dones
+
+        info_lite = _stack_infos(infos)
+        ret = dict(
+            obs=obs,
+            next_obs=next_obs,
+            prev_actions=self.prev_actions.copy(),
+            actions=actions.copy(),
+            rewards=np.float32(rewards),
+            dones=np.asarray(
+                [[bool(true_done(dones[i, 0], infos[i]))] for i in range(self.num_envs)]
+            ),
+            episode_dones=dones.copy(),
+            infos=info_lite,
+            worker_indices=np.arange(self.num_envs, dtype=np.int32)[:, None],
+        )
+        self.recent_obs = next_obs
+        done_idx = np.nonzero(dones[:, 0])[0]
+        if len(done_idx) and restart:
+            self.reset(idx=done_idx)
+        return ret
+
+    def step_random_actions(self, num) -> Dict[str, Any]:
+        ret = self.vec_env.step_random_actions(num)
+        # After random stepping the cached obs are stale; re-reset all envs.
+        self.reset()
+        return ret
+
+    def random_actions(self) -> np.ndarray:
+        sample = self.vec_env.action_space.sample()
+        return np.asarray(sample)
+
+    def render(self, mode="rgb_array", idx=None, **kwargs):
+        return self.vec_env.render(mode, idx=idx, **kwargs)
+
+    def get_env_state(self):
+        return self.vec_env.get_env_state()
+
+    def call(self, name, *args, idx=None, **kwargs):
+        return self.vec_env.call(name, *args, idx=idx, **kwargs)
+
+    def get_attr(self, name, idx=None):
+        return self.vec_env.get_attr(name, idx=idx)
+
+    def seed(self, seed):
+        self.vec_env.seed(seed)
+
+    def close(self):
+        self.vec_env.close()
+
+
+def _stack_infos(infos: List[dict]) -> Dict[str, np.ndarray]:
+    """Stack scalar info entries across workers; drop ragged/object entries."""
+    if not infos:
+        return {}
+    keys = set(infos[0])
+    for info in infos[1:]:
+        keys &= set(info)
+    out = {}
+    for k in keys:
+        try:
+            vals = np.stack([np.asarray(info[k]) for info in infos])
+            if vals.dtype != object:
+                out[k] = vals.reshape(len(infos), -1)
+        except (ValueError, TypeError):
+            continue
+    return out
+
+
+def build_vec_env_from_cfgs(env_cfgs, seeds=None, use_subprocess: Optional[bool] = None) -> UnifiedVectorEnvAPI:
+    """Pick the single-env or subprocess implementation
+    (reference env_utils.py:220-258)."""
+    if use_subprocess is None:
+        use_subprocess = len(env_cfgs) > 1
+    if len(env_cfgs) == 1 and not use_subprocess:
+        base = SingleEnv2VecEnv(env_cfgs, seed=seeds[0] if seeds else None)
+    else:
+        base = VectorEnv(env_cfgs, seeds=seeds)
+    return UnifiedVectorEnvAPI(base)

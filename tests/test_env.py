@@ -1,0 +1,236 @@
+"""Env plane tests: DistEnv, wrappers, vec envs, replay ring buffer,
+rollout collection, evaluation loop, obs processing."""
+
+import numpy as np
+import pytest
+
+from pointcloud_rl_tpu.env import (
+    DistEnv,
+    Evaluation,
+    ExtendedEnv,
+    FrameStackWrapper,
+    ReplayMemory,
+    Rollout,
+    TimeLimit,
+    build_env,
+    build_vec_env,
+    get_env_info,
+    true_done,
+)
+from pointcloud_rl_tpu.env.obs_process import pcd_base, pcd_uniform_downsample, sample_and_pad
+from pointcloud_rl_tpu.env.spaces import Box
+
+
+DIST_CFG = dict(type="gym", env_name="reacher3d_easy-v0", obs_mode="pointcloud")
+
+
+def test_dist_env_basic():
+    env = DistEnv(obs_mode="pointcloud")
+    env.seed(0)
+    obs = env.reset()
+    assert obs["xyz"].shape == (3, 2) and obs["rgb"].shape == (3, 2)
+    assert obs["rgb"].dtype == np.uint8
+    a = env.action_space.sample()
+    obs2, r, done, info = env.step(a)
+    assert done and r <= 0
+    # zero action towards target from known geometry gives better reward
+    env.reset()
+    perfect = (env.target_xyz - env.source_xyz) / env.max_dist
+    _, r2, _, _ = env.step(perfect)
+    assert r2 > -1e-6
+
+
+def test_dist_env_state_and_rgbd_modes():
+    for mode, check in [
+        ("state", lambda o: o.shape == (4,)),
+        ("rgb", lambda o: o["rgb"].shape == (3, 20, 20)),
+        ("rgbd", lambda o: o["depth"].shape == (1, 20, 20)),
+    ]:
+        env = DistEnv(obs_mode=mode)
+        env.seed(1)
+        assert check(env.reset())
+
+
+def test_extended_env_and_true_done():
+    env = ExtendedEnv(TimeLimit(DistEnv(obs_mode="state"), 1), reward_scale=2.0)
+    env.seed(0)
+    env.reset()
+    obs, r, done, info = env.step(env.action_space.sample())
+    assert obs.dtype == np.float32
+    assert "step_times" in info
+    assert done
+    # DistEnv terminates itself at step 1 -> not truncation
+    assert bool(true_done(done, info))
+    assert not bool(true_done(True, {"TimeLimit.truncated": True}))
+    assert not bool(true_done(True, {}))  # missing key defaults to truncated
+
+
+def test_frame_stack_pointcloud():
+    env = FrameStackWrapper(DistEnv(obs_mode="pointcloud"), 3)
+    env.seed(0)
+    obs = env.reset()
+    assert obs["xyz"].shape == (3, 6)
+    assert obs["pos_encoding"].shape == (3, 6)
+    np.testing.assert_array_equal(obs["pos_encoding"][:, :2], np.eye(3, dtype=np.uint8)[:, [0, 0]])
+
+
+def test_build_env_and_info():
+    env = build_env(dict(DIST_CFG, stack_frame=3))
+    info = get_env_info(dict(DIST_CFG, stack_frame=3))
+    assert info["action_shape"] == 3 and not info["is_discrete"]
+    assert info["obs_shape"]["xyz"] == (3, 6)
+    assert info["obs_shape"]["pos_encoding"] == (3, 6)
+    env.close()
+
+
+def test_step_random_actions():
+    env = build_env(DIST_CFG)
+    env.seed(0)
+    batch = env.step_random_actions(7)
+    assert batch["actions"].shape == (7, 3)
+    assert batch["rewards"].shape == (7, 1)
+    assert batch["obs"]["xyz"].shape == (7, 3, 2)
+    assert batch["episode_dones"].all()  # one-step env
+    env.close()
+
+
+def test_vec_env_subprocess_and_step_dict():
+    vec = build_vec_env(DIST_CFG, num_procs=2, base_seed=10)
+    try:
+        obs = vec.reset()
+        assert obs["xyz"].shape == (2, 3, 2)
+        actions = vec.random_actions()
+        trans = vec.step_dict(actions)
+        for key in ("obs", "next_obs", "prev_actions", "actions", "rewards", "dones", "episode_dones", "worker_indices"):
+            assert key in trans, key
+        assert trans["rewards"].shape == (2, 1)
+        assert trans["worker_indices"].tolist() == [[0], [1]]
+        # auto-reset happened: recent_obs differs from next_obs of done envs
+        assert trans["episode_dones"].all()
+    finally:
+        vec.close()
+
+
+def test_replay_ring_and_wraparound():
+    mem = ReplayMemory(capacity=10, sampling_cfg=dict(type="OneStepTransition"), seed=0)
+    def batch(lo, n):
+        return dict(
+            obs=np.arange(lo, lo + n, dtype=np.float32)[:, None],
+            actions=np.zeros((n, 2), np.float32),
+            rewards=np.ones((n, 1), np.float32),
+            dones=np.zeros((n, 1), bool),
+            episode_dones=np.zeros((n, 1), bool),
+            infos={"ignored": np.zeros(n)},
+        )
+    mem.push_batch(batch(0, 6))
+    assert len(mem) == 6
+    assert "infos" not in mem.memory
+    mem.push_batch(batch(6, 6))  # wraps: positions 6..9 then 0..1
+    assert len(mem) == 10
+    assert mem.position == 2
+    assert mem.memory["obs"][0, 0] == 10.0 and mem.memory["obs"][1, 0] == 11.0
+    s = mem.sample(32)
+    assert s["obs"].shape == (32, 1)
+    tail = mem.tail(3)
+    np.testing.assert_array_equal(tail["obs"][:, 0], [9.0, 10.0, 11.0])
+
+
+def test_replay_trajectory_cache():
+    mem = ReplayMemory(capacity=100)
+    def trans(wid, done):
+        return dict(
+            obs=np.zeros((1, 2), np.float32),
+            episode_dones=np.array([[done]]),
+            worker_indices=np.array([[wid]]),
+        )
+    assert mem.cache_trajectories(trans(0, False)) == 0
+    assert len(mem) == 0
+    assert mem.cache_trajectories(trans(0, True)) == 2
+    assert len(mem) == 2
+    mem.cache_trajectories(trans(1, False))
+    assert mem.push_cached_trajectories() == 1
+    assert len(mem) == 3
+
+
+def test_replay_hdf5_roundtrip(tmp_path):
+    mem = ReplayMemory(capacity=16)
+    mem.push_batch(dict(obs=np.arange(8, dtype=np.float32)[:, None], actions=np.zeros((8, 2), np.float32)))
+    path = str(tmp_path / "replay.h5")
+    mem.to_hdf5(path)
+    mem2 = ReplayMemory(capacity=16, buffer_filenames=[path])
+    assert len(mem2) == 8
+    np.testing.assert_array_equal(mem2.memory["obs"][:8], mem.memory["obs"][:8])
+
+
+class _CountingPolicy:
+    def __init__(self, action_dim=3):
+        self.calls = 0
+        self.action_dim = action_dim
+
+    def __call__(self, obs, mode="explore"):
+        self.calls += 1
+        n = len(obs["xyz"]) if isinstance(obs, dict) else len(obs)
+        return np.zeros((n, self.action_dim), np.float32)
+
+
+def test_rollout_random_and_policy():
+    mem = ReplayMemory(capacity=64)
+    ro = Rollout(env_cfg=DIST_CFG, num_procs=1, base_seed=0)
+    try:
+        out = ro.forward_with_policy(None, 8, mem)
+        assert len(mem) == 8
+        assert out["_stats"]["num_steps"] == 8
+        pi = _CountingPolicy()
+        out = ro.forward_with_policy(pi, 4, mem)
+        assert pi.calls == 4
+        assert len(mem) == 12
+        assert out["rewards"].shape == (1, 1)
+        assert out["_stats"]["fps"] > 0
+    finally:
+        ro.close()
+
+
+def test_evaluation_slot_reuse(tmp_path):
+    ev = Evaluation(env_cfg=DIST_CFG, num_procs=1, num=3, seed=5)
+    try:
+        pi = _CountingPolicy()
+        lens, rewards, finishes = ev.run(pi, num=3, work_dir=str(tmp_path / "eval"))
+        assert len(lens) == 3 and len(rewards) == 3
+        assert all(l == 1 for l in lens)  # one-step env
+        assert (tmp_path / "eval" / "statistics.csv").exists()
+    finally:
+        ev.close()
+
+
+def test_sample_and_pad():
+    idx = sample_and_pad(10, 4, np.random.RandomState(0))
+    assert len(idx) == 4 and idx.max() < 10
+    idx = sample_and_pad(3, 8)
+    assert len(idx) == 8
+    np.testing.assert_array_equal(idx, [0, 1, 2, 0, 1, 2, 0, 1])
+    idx = sample_and_pad(0, 5)
+    np.testing.assert_array_equal(idx, np.zeros(5))
+
+
+def test_pcd_base_balanced_sampling():
+    rs = np.random.RandomState(0)
+    n = 3000
+    obs = {
+        "xyz": np.concatenate([rs.rand(n, 3) + [0, 0, 0.5], rs.rand(50, 3) * [1, 1, 1e-4]]),
+        "rgb": rs.randint(0, 255, (n + 50, 3)).astype(np.uint8),
+        "seg": np.zeros((n + 50, 2), bool),
+    }
+    obs["seg"][:30, 0] = True       # tiny segment -> gets all 30 (min_pts=50 > 30)
+    obs["seg"][30:1500, 1] = True   # large segment
+    out = pcd_base(dict(obs), n_points=1200, min_pts=50, fg_pts=800, np_random=rs)
+    assert out["xyz"].shape == (1200, 3)
+    assert out["seg"][:, 0].sum() == 30  # all of the tiny segment kept
+    assert out["seg"][:, 1].sum() >= 700  # large segment dominates foreground budget
+    assert (out["xyz"][:, 2] > 1e-3).all()  # ground removed
+
+
+def test_pcd_uniform_downsample():
+    rs = np.random.RandomState(1)
+    obs = {"xyz": rs.rand(500, 3) + 0.1, "rgb": rs.rand(500, 3)}
+    out = pcd_uniform_downsample(dict(obs), num=64, np_random=rs)
+    assert out["xyz"].shape == (64, 3)
