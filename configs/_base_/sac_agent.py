@@ -1,0 +1,24 @@
+_base_ = ["./off_policy.py"]
+
+# Shared SAC hyper-parameters used by every visual config in the suite:
+# twin-Q critics, automatic entropy tuning, per-module EMA rates (the visual
+# encoder tracks faster at 0.05), interval-2 actor/target updates, shared
+# visual backbone trained by the critic with detached actor features.
+
+agent_cfg = dict(
+    type="SAC",
+    batch_size=256,
+    gamma=0.99,
+    alpha=0.1,
+    automatic_alpha_tuning=True,
+    ignore_dones=False,
+    update_coeff={
+        "default": 0.01,
+        "(.*?)visual_nn(.*?)": 0.05,
+    },
+    target_update_interval=2,
+    actor_update_interval=2,
+    alpha_optim_cfg=dict(type="Adam", lr=1e-3, betas=(0.5, 0.999)),
+    shared_backbone=True,
+    detach_actor_feature=True,
+)

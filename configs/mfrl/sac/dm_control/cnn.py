@@ -1,0 +1,3 @@
+_base_ = ["../../../_base_/net_cnn_dmc.py"]
+
+env_cfg = dict(env_name="dmc_cheetah_run-v0")

@@ -1,0 +1,159 @@
+"""The online off-policy training loop.
+
+Parity target: reference ``pyrl/apis/train_rl.py:128-405`` — warm-up random
+steps, then alternate collect(n_steps)/update(n_updates) until total_steps,
+with episode statistics, periodic logging (losses + episode stats + timing +
+ETA + buffer/memory diagnostics), periodic evaluation, and checkpoints every
+n_checkpoint steps as ``models/model_<step>`` plus ``model_final``.  Also
+supports on-policy mode (replay reset per iteration) and offline mode
+(n_steps=0).
+"""
+
+from __future__ import annotations
+
+import os
+import os.path as osp
+import time
+from collections import defaultdict
+from typing import Any, Dict, Optional
+
+import numpy as np
+
+from ..utils.checkpoint import save_checkpoint
+from ..utils.logger import get_logger
+from ..utils.stats import EveryNSteps
+from ..utils.timer import format_eta
+from ..utils.tree_ops import dict_to_str
+
+
+def train_rl(
+    agent,
+    rollout,
+    evaluator,
+    replay,
+    work_dir: str,
+    total_steps: int,
+    warm_steps: int = 0,
+    n_steps: int = 1,
+    n_updates: int = 1,
+    n_log: int = 1000,
+    n_eval: int = -1,
+    n_checkpoint: int = -1,
+    on_policy: bool = False,
+    resume_steps: int = 0,
+    eval_num: Optional[int] = None,
+    exp_logger=None,
+    is_lead: bool = True,
+) -> None:
+    logger = get_logger("pcrl")
+    log_trigger = EveryNSteps(n_log)
+    eval_trigger = EveryNSteps(n_eval if n_eval and n_eval > 0 else None)
+    ckpt_trigger = EveryNSteps(n_checkpoint if n_checkpoint and n_checkpoint > 0 else None)
+
+    steps = resume_steps
+    total_updates = 0
+    log_trigger.reset(steps)
+    if eval_trigger.n:
+        eval_trigger.reset(steps)
+    if ckpt_trigger.n:
+        ckpt_trigger.reset(steps)
+
+    begin_time = time.monotonic()
+    begin_steps = steps
+    metric_sums: Dict[str, float] = defaultdict(float)
+    metric_counts: Dict[str, int] = defaultdict(int)
+    time_sums: Dict[str, float] = defaultdict(float)
+
+    # ---- warm-up with random actions (train_rl.py:207-228) ----------------
+    if warm_steps > 0 and resume_steps == 0 and not on_policy:
+        assert rollout is not None and replay is not None
+        rollout.forward_with_policy(None, warm_steps, replay)
+        steps += warm_steps
+        log_trigger.reset(steps)
+        logger.info(f"Warm-up finished: {warm_steps} random steps, buffer size {len(replay)}")
+        rollout.episode_stats.reset_current()
+
+    # ---- main loop ---------------------------------------------------------
+    while steps < total_steps:
+        iter_t0 = time.monotonic()
+        if on_policy and replay is not None:
+            replay.reset()
+            if rollout is not None:
+                rollout.episode_stats.reset_current()
+
+        if n_steps > 0 and rollout is not None:
+            agent.eval()
+            out = rollout.forward_with_policy(agent, n_steps, replay)
+            steps += n_steps
+            if out and "_stats" in out:
+                for k, v in out["_stats"].items():
+                    if k.endswith("_time"):
+                        time_sums[k] += v
+            time_sums["collect_sample_time"] += time.monotonic() - iter_t0
+        else:
+            steps += 1  # offline mode progresses by update counting
+
+        update_t0 = time.monotonic()
+        agent.train()
+        for _ in range(n_updates):
+            total_updates += 1
+            metrics = agent.update_parameters(replay, total_updates)
+            for k, v in metrics.items():
+                metric_sums[k] += float(v)
+                metric_counts[k] += 1
+        time_sums["update_time"] += time.monotonic() - update_t0
+
+        # ---- logging (train_rl.py:315-371) ---------------------------------
+        if log_trigger.check(steps) and is_lead:
+            avg_metrics = {k: metric_sums[k] / max(metric_counts[k], 1) for k in metric_sums}
+            env_stats = rollout.episode_stats.get_stats() if rollout is not None else {}
+            if rollout is not None:
+                rollout.episode_stats.reset_history()
+            elapsed = time.monotonic() - begin_time
+            rate = (steps - begin_steps) / max(elapsed, 1e-9)
+            eta = format_eta((total_steps - steps) / max(rate, 1e-9))
+            diag = {
+                "buffer_size": len(replay) if replay is not None else 0,
+                "total_grad_steps": total_updates,
+                "samples_per_sec": rate,
+                **{k: v for k, v in time_sums.items()},
+            }
+            line = (
+                f"{steps}/{total_steps} ({steps / total_steps * 100:.0f}%) ETA {eta} | "
+                + dict_to_str({**env_stats, **avg_metrics})
+                + " | "
+                + dict_to_str(diag)
+            )
+            logger.info(line)
+            if exp_logger is not None:
+                exp_logger.log({**env_stats, **avg_metrics, **diag}, step=steps, tag="train")
+            metric_sums.clear()
+            metric_counts.clear()
+            time_sums.clear()
+
+        # ---- evaluation (train_rl.py:373-390) -------------------------------
+        if evaluator is not None and eval_trigger.n and eval_trigger.check(steps) and is_lead:
+            std_step = eval_trigger.standard(steps)
+            agent.eval()
+            eval_dir = osp.join(work_dir, f"eval_{std_step}")
+            lens, rewards, finishes = evaluator.run(agent, num=eval_num, work_dir=eval_dir)
+            if exp_logger is not None:
+                exp_logger.log(
+                    {
+                        "rewards_mean": float(np.mean(rewards)),
+                        "lengths_mean": float(np.mean(lens)),
+                        "success_rate": float(np.mean(finishes)),
+                    },
+                    step=std_step,
+                    tag="test",
+                )
+
+        # ---- checkpoint (train_rl.py:392-405) --------------------------------
+        if ckpt_trigger.n and ckpt_trigger.check(steps) and is_lead:
+            std_step = ckpt_trigger.standard(steps)
+            path = save_checkpoint(agent.state_dict(), work_dir, std_step)
+            logger.info(f"Saved checkpoint at step {std_step}: {path}")
+
+    if is_lead:
+        path = save_checkpoint(agent.state_dict(), work_dir, steps, name="model_final")
+        logger.info(f"Training finished at {steps} steps; final checkpoint: {path}")

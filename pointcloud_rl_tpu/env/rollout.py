@@ -16,6 +16,7 @@ from typing import Any, Dict, Optional
 import numpy as np
 
 from ..utils.logger import get_logger
+from ..utils.stats import EpisodicStatistics
 from ..utils.timer import Timer
 from .builder import ROLLOUTS, build_vec_env
 
@@ -37,6 +38,7 @@ class Rollout:
         self.with_info = with_info
         self.timer = Timer()
         self.logger = get_logger("pcrl.rollout")
+        self.episode_stats = EpisodicStatistics(self.num_envs)
         self.vec_env.reset()
 
     @property
@@ -61,6 +63,14 @@ class Rollout:
             assert replay is not None
             ret = self.vec_env.step_random_actions(num)
             replay.push_batch(ret)
+            # Episode accounting for the warm-up transitions (row-wise; the
+            # batch is grouped per worker so per-worker accumulation holds).
+            rewards = np.asarray(ret["rewards"]).reshape(-1)
+            dones = np.asarray(ret["episode_dones"]).reshape(-1)
+            widx = np.asarray(ret["worker_indices"]).reshape(-1)
+            for r, d, w in zip(rewards, dones, widx):
+                self.episode_stats.push_single(int(w), float(r), bool(d))
+            self.episode_stats.reset_current()  # random-path episodes ended by env resets
             self.timer.tick("simulation")
             return {"_stats": self._stats(num)}
 
@@ -78,6 +88,7 @@ class Rollout:
             self.timer.tick("agent")
             trans = self.vec_env.step_dict(np.asarray(actions))
             self.timer.tick("simulation")
+            self.episode_stats.push(trans["rewards"][:, 0], trans["episode_dones"][:, 0])
             if replay is not None:
                 replay.push_batch(trans)
             self.timer.tick("copy")
@@ -98,6 +109,7 @@ class Rollout:
             self.timer.tick("agent")
             trans = self.vec_env.step_dict(np.asarray(actions))
             self.timer.tick("simulation")
+            self.episode_stats.push(trans["rewards"][:, 0], trans["episode_dones"][:, 0])
             pushed = replay.cache_trajectories(trans, max_push=num - total)
             total += pushed
             self.timer.tick("copy")

@@ -31,14 +31,20 @@ from .pointnet import preprocess_pointcloud
 @NETWORK.register_module(name="SparseCNN")
 @NETWORK.register_module()
 class VoxelCNN(nn.Module):
-    """Voxelized 3D conv encoder (config type ``SparseCNN`` for parity)."""
+    """Voxelized 3D conv encoder (config type ``SparseCNN`` for parity).
 
-    feat_dim: int
-    out_channels: int = 50
-    voxel_size: float = 0.05
+    Config surface matches the reference (sp_resnet.py:20): ``in_channels``
+    per-point input features, ``mlp_spec`` the three conv stage widths,
+    ``voxel_size``, ``out_channels``.  ``grid_size`` is TPU-specific: the
+    static dense grid extent (clouds are min-shifted into it).
+    """
+
+    in_channels: int
+    out_channels: Optional[int] = None
+    voxel_size: float = 0.1
+    mlp_spec: Sequence[int] = (128, 256, 512)
     grid_size: Sequence[int] = (32, 32, 32)
     stem_channels: Sequence[int] = (32, 32)
-    conv_channels: Sequence[int] = (64, 128, 256)
     kernel_size: int = 4
     stride: int = 2
     norm_cfg: Optional[Any] = None
@@ -49,14 +55,14 @@ class VoxelCNN(nn.Module):
         feature = preprocess_pointcloud(obs)  # [B, N, C] channel-last
         xyz = feature[..., :3]
         # Point stem: in -> 32 -> 32 with LN (sp_resnet.py:29-35)
-        stem_spec = [self.feat_dim] + list(self.stem_channels)
+        stem_spec = [self.in_channels] + list(self.stem_channels)
         x = MLP(stem_spec, norm_cfg={"type": "LN", "eps": 1e-6}, act_cfg=self.act_cfg,
                 inactivated_output=False, ignore_first_ln=True)(feature)
 
         grid, occ = voxelize_dense(xyz, x, self.voxel_size, self.grid_size)
         # [B, Gx, Gy, Gz, C]; occupancy mask tracks "sparse" sites.
         occ_f = occ[..., None].astype(grid.dtype)
-        for ch in self.conv_channels:
+        for ch in self.mlp_spec:
             in_ch = grid.shape[-1]
             grid = nn.Conv(
                 ch,
@@ -76,7 +82,8 @@ class VoxelCNN(nn.Module):
         occ_flat = occ_f.reshape(B, -1, 1) > 0
         pooled = masked_max(flat, occ_flat, axis=-2)
 
-        pooled = nn.Dense(self.out_channels, kernel_init=torch_default_kernel_init,
-                          bias_init=make_torch_bias_init(pooled.shape[-1]))(pooled)
-        pooled = nn.LayerNorm()(pooled)
+        if self.out_channels is not None:
+            pooled = nn.Dense(self.out_channels, kernel_init=torch_default_kernel_init,
+                              bias_init=make_torch_bias_init(pooled.shape[-1]))(pooled)
+            pooled = nn.LayerNorm()(pooled)
         return pooled

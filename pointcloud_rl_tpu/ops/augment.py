@@ -209,18 +209,31 @@ class RandomDownSample(BaseAugmentation):
         assert (drop_ratio is None) != (max_num_points is None)
         self.max_num_points = max_num_points
         self.drop_ratio = drop_ratio
-        # fixed_ratio=False samples a random count -> dynamic shape; we keep
-        # the fixed-count variant (the shipped configs use fixed_ratio=True).
-        assert fixed_ratio, "Only fixed_ratio=True is supported under jit (static shapes)"
+        self.fixed_ratio = fixed_ratio
 
     def sample_info(self, rng, main_data):
         N = main_data.shape[-1]
-        keep = (N - int(N * self.drop_ratio)) if self.drop_ratio is not None else min(self.max_num_points, N)
-        perm = jax.random.permutation(rng, N)[:keep]
-        return perm
+        k_perm, k_count = jax.random.split(rng)
+        perm = jax.random.permutation(k_perm, N)
+        if self.drop_ratio is not None:
+            min_keep = N - int(N * self.drop_ratio)
+        else:
+            min_keep = min(self.max_num_points, N)
+        if self.fixed_ratio:
+            # Static shrink: slice to the fixed keep count.
+            return perm[:min_keep], None
+        # fixed_ratio=False: the reference drops a RANDOM count (dynamic
+        # shape).  Under jit we keep N static and pad with duplicates of the
+        # kept points instead (pad-by-tiling, like the env samplers): for
+        # max-pool encoders this is exactly equivalent to dropping.
+        keep = jax.random.randint(k_count, (), min_keep, N + 1)
+        pos = jnp.arange(N)
+        remapped = jnp.where(pos < keep, perm, jnp.take(perm, pos % jnp.maximum(keep, 1)))
+        return remapped, keep
 
     def apply_single(self, data, key, info, rng):
-        return jnp.take(data, info, axis=-1)
+        index, _ = info
+        return jnp.take(data, index, axis=-1)
 
 
 @AUGMENTATIONS.register_module()

@@ -125,6 +125,21 @@ class EpisodicStatistics:
             self.num_episodes += n_done
         return n_done
 
+    def push_single(self, worker: int, reward: float, episode_done: bool) -> int:
+        """Accumulate one transition for one worker (warm-up batches)."""
+        self.current_rewards[worker] += reward
+        self.current_lens[worker] += 1
+        self.current_max_reward[worker] = max(self.current_max_reward[worker], reward)
+        if episode_done:
+            self.history_rewards.append(float(self.current_rewards[worker]))
+            self.history_lens.append(int(self.current_lens[worker]))
+            self.current_rewards[worker] = 0
+            self.current_lens[worker] = 0
+            self.current_max_reward[worker] = -np.inf
+            self.num_episodes += 1
+            return 1
+        return 0
+
     def reset_history(self) -> None:
         self.history_rewards.clear()
         self.history_lens.clear()

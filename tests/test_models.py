@@ -106,7 +106,7 @@ def test_voxel_cnn():
         "rgb": jnp.zeros((2, 3, 64), jnp.uint8),
         "seg": jnp.zeros((2, 2, 64), jnp.float32),
     }
-    net = build_all(dict(type="SparseCNN", feat_dim=8, out_channels=32, voxel_size=0.1, grid_size=(16, 16, 16)))
+    net = build_all(dict(type="SparseCNN", in_channels=8, out_channels=32, voxel_size=0.1, mlp_spec=[16, 32, 64], grid_size=(16, 16, 16)))
     params = net.init({"params": jax.random.PRNGKey(0)}, obs)
     assert net.apply(params, obs).shape == (2, 32)
 
