@@ -33,6 +33,26 @@ def example_obs_from_shape(obs_shape, batch: int = 1):
     return np.zeros((batch,) + shape, np.float32)
 
 
+def pack_pointcloud_obs(obs: Dict[str, Any]):
+    """Fuse a pointcloud obs dict into ONE float32 array (+ robot state).
+
+    Exactly replicates PointNet preprocess channel assembly (xyz, rgb/255,
+    pos_encoding, seg channel-first) on the host, so inference needs a
+    single host->device upload instead of one per leaf — on remote/tunneled
+    devices each upload is a round trip.
+    """
+    feats = [np.asarray(obs["xyz"], np.float32)]
+    if "rgb" in obs:
+        rgb = np.asarray(obs["rgb"])
+        feats.append(rgb.astype(np.float32) / 255.0 if rgb.dtype == np.uint8 else rgb.astype(np.float32))
+    for key in ("pos_encoding", "seg"):
+        if key in obs:
+            feats.append(np.asarray(obs[key], np.float32))
+    packed = np.concatenate(feats, axis=-2)
+    state = obs.get("state", obs.get("agent"))
+    return packed, (np.asarray(state, np.float32) if state is not None else None)
+
+
 class BaseAgent:
     """Common host plumbing; algorithm classes implement ``_update_step``."""
 
@@ -54,6 +74,13 @@ class BaseAgent:
 
     def forward(self, obs, mode: str = "explore", **kwargs) -> np.ndarray:
         """obs (numpy tree, batched) -> actions (numpy [B, A])."""
+        if (
+            isinstance(obs, dict)
+            and "xyz" in obs
+            and getattr(self, "inference_aug", None) is None
+        ):
+            packed, state = pack_pointcloud_obs(obs)
+            obs = packed if state is None else {"state": state, "packed": packed}
         if mode not in self._act_fns:
             self._act_fns[mode] = self._build_act(mode)
         actions, self.train_state = self._act_fns[mode](self.train_state, obs)

@@ -145,7 +145,17 @@ class SAC(BaseAgent):
             rng=rng,
             updates=jnp.zeros((), jnp.int32),
         )
-        self._update_jit = jax.jit(self._update_step, donate_argnums=(0,))
+        self._metric_keys: Optional[list] = None
+        self._update_jit = jax.jit(self._packed_update, donate_argnums=(0,))
+
+    def _packed_update(self, state, batch):
+        """Jit wrapper packing metrics into ONE vector: a remote-device fetch
+        of a dict of scalars costs one round trip per leaf; one stacked array
+        costs one."""
+        state, metrics = self._update_step(state, batch)
+        keys = sorted(metrics)
+        self._metric_keys = keys  # trace-time side effect; keys are static
+        return state, jnp.stack([jnp.asarray(metrics[k], jnp.float32) for k in keys])
 
     # ------------------------------------------------------------------ act
     def _build_act(self, mode: str):
@@ -168,16 +178,49 @@ class SAC(BaseAgent):
         if self.use_episode_dones:
             batch["dones"] = batch["episode_dones"]
         for key in ("rewards", "dones"):
-            arr = np.asarray(batch[key])
-            if arr.ndim == 1:
+            arr = batch[key]
+            if getattr(arr, "ndim", None) == 1:  # works for np and device arrays
                 batch[key] = arr[:, None]
         return batch
 
-    def update_parameters(self, memory, updates: int) -> Dict[str, float]:
+    def update_parameters_lazy(self, memory, updates: int):
+        """One gradient step; returns the packed metric vector WITHOUT any
+        host sync, so callers can pipeline updates with host work (env
+        stepping) and fetch metrics only at log time."""
         sampled = memory.sample(self.batch_size)
         batch = self._prepare_batch(sampled)
-        self.train_state, metrics = self._update_jit(self.train_state, batch)
-        metrics = {k: float(v) for k, v in jax.device_get(metrics).items()}
+        self.train_state, metric_vec = self._update_jit(self.train_state, batch)
+        # Cap the async dispatch depth: on remote/tunneled devices an
+        # unbounded chain of donated-buffer updates degrades the runtime's
+        # flow control (~1000x slowdown observed); draining every K steps
+        # costs one round trip per K.
+        self._inflight = getattr(self, "_inflight", 0) + 1
+        if self._inflight >= 16:
+            jax.block_until_ready(metric_vec)
+            self._inflight = 0
+        return metric_vec
+
+    @property
+    def metric_keys(self):
+        return self._metric_keys
+
+    def reduce_metric_vecs(self, vec_sum, count: int) -> Dict[str, float]:
+        """Average accumulated metric vectors; actor-gated metrics average
+        over the updates where the actor actually stepped."""
+        sums = dict(zip(self._metric_keys, np.asarray(vec_sum, np.float64)))
+        p = self.metric_prefix
+        n_actor = max(sums.pop(f"{p}/actor_updated", count), 1.0)
+        actor_keys = {f"{p}/actor_loss", f"{p}/alpha_loss", f"{p}/entropy", f"{p}/actor_grad", f"{p}/q_match_rate"}
+        metrics = {k: v / (n_actor if k in actor_keys else max(count, 1)) for k, v in sums.items()}
+        if not self.is_discrete:
+            metrics.pop(f"{p}/q_match_rate", None)
+        metrics[f"{p}/target_entropy"] = self.target_entropy
+        metrics[f"{p}/grad_steps"] = count
+        return metrics
+
+    def update_parameters(self, memory, updates: int) -> Dict[str, float]:
+        metric_vec = self.update_parameters_lazy(memory, updates)
+        metrics = dict(zip(self._metric_keys, np.asarray(metric_vec, np.float64)))
         p = self.metric_prefix
         if metrics.pop(f"{p}/actor_updated", 1.0) < 0.5:
             for k in (f"{p}/actor_loss", f"{p}/alpha_loss", f"{p}/entropy", f"{p}/actor_grad", f"{p}/q_match_rate"):

@@ -63,6 +63,8 @@ def train_rl(
     metric_sums: Dict[str, float] = defaultdict(float)
     metric_counts: Dict[str, int] = defaultdict(int)
     time_sums: Dict[str, float] = defaultdict(float)
+    lazy_vec_sum = None
+    lazy_count = 0
 
     # ---- warm-up with random actions (train_rl.py:207-228) ----------------
     if warm_steps > 0 and resume_steps == 0 and not on_policy:
@@ -95,17 +97,30 @@ def train_rl(
 
         update_t0 = time.monotonic()
         agent.train()
-        for _ in range(n_updates):
-            total_updates += 1
-            metrics = agent.update_parameters(replay, total_updates)
-            for k, v in metrics.items():
-                metric_sums[k] += float(v)
-                metric_counts[k] += 1
+        if hasattr(agent, "update_parameters_lazy"):
+            # Lazy path: metric vectors accumulate ON DEVICE; nothing syncs
+            # until log time, so updates overlap with env stepping.
+            for _ in range(n_updates):
+                total_updates += 1
+                vec = agent.update_parameters_lazy(replay, total_updates)
+                lazy_vec_sum = vec if lazy_vec_sum is None else lazy_vec_sum + vec
+                lazy_count += 1
+        else:
+            for _ in range(n_updates):
+                total_updates += 1
+                metrics = agent.update_parameters(replay, total_updates)
+                for k, v in metrics.items():
+                    metric_sums[k] += float(v)
+                    metric_counts[k] += 1
         time_sums["update_time"] += time.monotonic() - update_t0
 
         # ---- logging (train_rl.py:315-371) ---------------------------------
         if log_trigger.check(steps) and is_lead:
-            avg_metrics = {k: metric_sums[k] / max(metric_counts[k], 1) for k in metric_sums}
+            if lazy_vec_sum is not None:
+                avg_metrics = agent.reduce_metric_vecs(lazy_vec_sum, lazy_count)  # ONE device fetch
+                lazy_vec_sum, lazy_count = None, 0
+            else:
+                avg_metrics = {k: metric_sums[k] / max(metric_counts[k], 1) for k in metric_sums}
             env_stats = rollout.episode_stats.get_stats() if rollout is not None else {}
             if rollout is not None:
                 rollout.episode_stats.reset_history()

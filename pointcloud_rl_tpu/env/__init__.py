@@ -13,6 +13,7 @@ from .builder import (
     build_vec_env,
     get_env_info,
 )
+from .device_replay import DeviceReplayMemory
 from .dist_env import DistEnv
 from .evaluation import Evaluation, save_eval_statistics
 from .replay import ReplayMemory
@@ -25,7 +26,7 @@ __all__ = [
     "Env", "Wrapper", "ExtendedEnv", "TimeLimit", "FrameStackWrapper", "true_done",
     "ENVS", "ROLLOUTS", "EVALUATIONS", "REPLAYS", "SAMPLING", "WRAPPERS",
     "build_env", "build_vec_env", "build_rollout", "build_evaluation", "build_replay", "get_env_info",
-    "DistEnv", "Evaluation", "save_eval_statistics", "ReplayMemory", "Rollout",
+    "DistEnv", "DeviceReplayMemory", "Evaluation", "save_eval_statistics", "ReplayMemory", "Rollout",
     "OneStepTransition", "TStepTransition", "Box", "Discrete",
     "SingleEnv2VecEnv", "UnifiedVectorEnvAPI", "VectorEnv",
 ]

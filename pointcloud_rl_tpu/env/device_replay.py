@@ -1,0 +1,144 @@
+"""HBM-resident replay buffer with on-device sampling.
+
+The TPU-native replacement for host replay in the hot loop (SURVEY.md §7.1
+TreeBuffer): transitions are pushed once (tiny per-step host->device copies)
+and training batches are GATHERED ON DEVICE, so the 20+ MB per-update batch
+transfer of a host buffer disappears.  At 1200 pts x 6 ch the full 100k-step
+buffer is a few GB — comfortably HBM-resident on one chip.
+
+Pushes use jitted ``dynamic_update_slice`` ring writes with donated storage
+(in-place update, no reallocation); sampling is a jitted gather with a
+threaded PRNG key.  Host-side wraparound splitting keeps shapes static.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..utils.tree_ops import first_leaf, tree_map
+from .builder import REPLAYS
+
+_SKIP_KEYS = ("infos",)
+
+
+@partial(jax.jit, donate_argnums=0, static_argnames=())
+def _ring_write(storage, batch, position):
+    return jax.tree_util.tree_map(
+        lambda s, b: jax.lax.dynamic_update_slice_in_dim(s, b.astype(s.dtype), position, axis=0),
+        storage,
+        batch,
+    )
+
+
+@partial(jax.jit, static_argnames=("batch_size",))
+def _gather(storage, key, size, batch_size):
+    idx = jax.random.randint(key, (batch_size,), 0, size)
+    return jax.tree_util.tree_map(lambda s: jnp.take(s, idx, axis=0), storage)
+
+
+@REPLAYS.register_module()
+class DeviceReplayMemory:
+    """Same interface as ReplayMemory where the hot loop touches it."""
+
+    def __init__(self, capacity: int, sampling_cfg: Optional[dict] = None, keys: Optional[List[str]] = None,
+                 seed: Optional[int] = None, **kwargs):
+        self.capacity = int(capacity)
+        self.storage = None  # pytree of [capacity, ...] device arrays
+        self.position = 0
+        self.running_count = 0
+        self.keys = keys
+        self._key = jax.random.PRNGKey(seed if seed is not None else 0)
+        # trajectory caching (full-episode mode) stays host-side
+        from .replay import ReplayMemory
+
+        self._traj_cache: Dict[int, list] = {}
+        self._host_cache_traj = ReplayMemory.cache_trajectories
+        self._host_push_cached = ReplayMemory.push_cached_trajectories
+
+    def __len__(self) -> int:
+        return min(self.running_count, self.capacity)
+
+    @property
+    def size(self) -> int:
+        return len(self)
+
+    def reset(self) -> None:
+        self.position = 0
+        self.running_count = 0
+
+    def _clean(self, items: Dict[str, Any]) -> Dict[str, Any]:
+        items = {k: v for k, v in items.items() if k not in _SKIP_KEYS}
+        if self.keys is not None:
+            items = {k: v for k, v in items.items() if k in self.keys}
+        return items
+
+    def _alloc(self, items) -> None:
+        def _zeros(x):
+            x = np.asarray(x)
+            return jnp.zeros((self.capacity,) + x.shape[1:], x.dtype)
+
+        self.storage = tree_map(_zeros, items)
+
+    def push_batch(self, items: Dict[str, Any]) -> None:
+        items = self._clean(items)
+        batch = len(first_leaf(items))
+        if batch > self.capacity:
+            items = tree_map(lambda x: x[: self.capacity], items)
+            batch = self.capacity
+        if self.storage is None:
+            self._alloc(items)
+        end = self.position + batch
+        if end <= self.capacity:
+            self.storage = _ring_write(self.storage, items, self.position)
+        else:
+            first = self.capacity - self.position
+            self.storage = _ring_write(self.storage, tree_map(lambda x: x[:first], items), self.position)
+            self.storage = _ring_write(self.storage, tree_map(lambda x: x[first:], items), 0)
+        self.position = end % self.capacity
+        self.running_count += batch
+
+    def push(self, item: Dict[str, Any]) -> None:
+        self.push_batch(tree_map(lambda x: np.asarray(x)[None], item))
+
+    # full-episode trajectory caching reuses the host implementation
+    def cache_trajectories(self, items, max_push: int = -1) -> int:
+        return self._host_cache_traj(self, items, max_push)
+
+    def push_cached_trajectories(self, max_push: int = -1) -> int:
+        return self._host_push_cached(self, max_push)
+
+    def sample(self, batch_size: int) -> Dict[str, Any]:
+        """Returns a batch of DEVICE arrays (no host round trip)."""
+        assert len(self) > 0, "Cannot sample from an empty buffer"
+        self._key, sub = jax.random.split(self._key)
+        return _gather(self.storage, sub, jnp.asarray(len(self), jnp.int32), batch_size)
+
+    def tail(self, num: int) -> Dict[str, Any]:
+        num = min(num, len(self))
+        idx = (np.arange(self.position - num, self.position)) % self.capacity
+        return jax.device_get(tree_map(lambda s: jnp.take(s, jnp.asarray(idx), axis=0), self.storage))
+
+    def get_all(self) -> Dict[str, Any]:
+        return jax.device_get(tree_map(lambda s: s[: len(self)], self.storage))
+
+    def to_hdf5(self, filename: str) -> None:
+        from .replay import ReplayMemory
+
+        host = ReplayMemory(self.capacity)
+        host.push_batch(self.get_all())
+        host.to_hdf5(filename)
+
+    def load_hdf5(self, filename: str) -> None:
+        import h5py
+
+        with h5py.File(filename, "r") as f:
+
+            def _load(group):
+                return {k: (_load(v) if hasattr(v, "items") else np.asarray(v)) for k, v in group.items()}
+
+            self.push_batch(_load(f))

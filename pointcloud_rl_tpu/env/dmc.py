@@ -12,10 +12,14 @@ Requires MUJOCO_GL=egl (set by utils.seeding.add_env_vars).
 
 from __future__ import annotations
 
+import os
 from collections import defaultdict
 from typing import Optional, Tuple
 
 import numpy as np
+
+# Must be set before dm_control/mujoco load their GL backend (headless EGL).
+os.environ.setdefault("MUJOCO_GL", "egl")
 
 from .api import Env, TimeLimit
 from .obs_process import sample_and_pad
@@ -113,19 +117,41 @@ class DMCEnv(Env):
         return uv1 @ self.inv_intrinsic.T * depth[..., None]
 
     def _render(self, with_depth: bool):
+        w, h = int(self.image_size[0]), int(self.image_size[1])
+        if not with_depth:
+            rgb = self.physics.render(height=h, width=w, camera_id=self.camera_id)
+            return rgb, None, None
+        # Single-pass rgb+depth: mjr_readPixels fills BOTH buffers from one
+        # mjr_render.  dm_control's Camera.render does a full scene render
+        # per output, which doubles the cost on software EGL — the env-step
+        # bottleneck on GPU-less hosts.
+        rgb, depth = self._dual_render(w, h)
+        return rgb, depth, depth <= self.max_depth
+
+    def _dual_render(self, w: int, h: int):
+        import mujoco
         from dm_control.mujoco.engine import Camera
 
-        camera = Camera(
-            physics=self.physics, width=int(self.image_size[0]), height=int(self.image_size[1]),
-            camera_id=self.camera_id,
-        )
-        rgb = camera.render(depth=False)
-        depth = sign = None
-        if with_depth:
-            depth = camera.render(depth=True)
-            sign = depth <= self.max_depth
-        camera._scene.free()
-        return rgb, depth, sign
+        cam = getattr(self, "_cached_camera", None)
+        if cam is None or cam._physics is not self.physics:
+            cam = Camera(self.physics, height=h, width=w, camera_id=self.camera_id)
+            self._cached_camera = cam
+        cam.update()
+        ctx_mujoco = self.physics.contexts.mujoco
+
+        def _render_and_read():
+            mujoco.mjr_render(cam._rect, cam._scene.ptr, ctx_mujoco.ptr)
+            mujoco.mjr_readPixels(cam._rgb_buffer, cam._depth_buffer, cam._rect, ctx_mujoco.ptr)
+
+        with self.physics.contexts.gl.make_current() as ctx:
+            ctx.call(_render_and_read)
+        # Depth buffer -> meters (znear/zfar convention, as dm_control does),
+        # and flip: the buffer's first row is the bottom pixel row.
+        extent = self.physics.model.stat.extent
+        near = self.physics.model.vis.map.znear * extent
+        far = self.physics.model.vis.map.zfar * extent
+        depth = near / (1.0 - cam._depth_buffer * (1.0 - near / far))
+        return np.flipud(cam._rgb_buffer).copy(), np.flipud(depth).copy()
 
     # ----------------------------------------------------------------- obs
     def get_obs(self, time_step=None):

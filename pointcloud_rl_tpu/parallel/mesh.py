@@ -49,7 +49,7 @@ def setup_data_parallel(agent, num_devices: int, axis_name: str = "data") -> Mes
     replicated, sharded = data_parallel_shardings(mesh, axis_name)
     agent.train_state = jax.device_put(agent.train_state, replicated)
     agent._update_jit = jax.jit(
-        agent._update_step,
+        agent._packed_update,
         in_shardings=(replicated, sharded),
         out_shardings=(replicated, replicated),
         donate_argnums=(0,),

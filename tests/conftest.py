@@ -6,11 +6,15 @@ conftest (pytest imports conftest before test modules).
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
-_flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in _flags:
-    os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
 os.environ.setdefault("MUJOCO_GL", "egl")
+
+# This machine's sitecustomize imports jax at interpreter startup and forces
+# JAX_PLATFORMS=axon (tunneled TPU), so env vars are too late — switch the
+# (lazily initialized) backend through jax.config instead.
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 8)
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

@@ -1,0 +1,87 @@
+"""Data-parallel mesh tests on the virtual 8-device CPU mesh."""
+
+import jax
+import numpy as np
+import pytest
+
+from pointcloud_rl_tpu.algorithms import build_agent
+from pointcloud_rl_tpu.parallel import make_mesh, setup_data_parallel
+from tests.test_algorithms import FakeMemory, _state_agent_cfg, _state_data
+
+
+def test_mesh_has_8_devices():
+    mesh = make_mesh(8)
+    assert mesh.shape["data"] == 8
+
+
+def test_data_parallel_update_matches_single_device():
+    """The sharded update must produce the same result as the single-device
+    update: replication + batch sharding only changes WHERE the math runs."""
+    data = _state_data(n=256)
+    mem = FakeMemory(data, seed=7)
+
+    agent_a = build_agent(_state_agent_cfg(seed=11))
+    agent_b = build_agent(_state_agent_cfg(seed=11))
+    setup_data_parallel(agent_b, 8)
+
+    # identical init
+    pa = jax.device_get(agent_a.train_state.params)
+    pb = jax.device_get(agent_b.train_state.params)
+    for a, b in zip(jax.tree_util.tree_leaves(pa), jax.tree_util.tree_leaves(pb)):
+        np.testing.assert_array_equal(a, b)
+
+    for i in range(3):
+        mem.rs = np.random.RandomState(100 + i)  # identical batches for both
+        ma = agent_a.update_parameters(mem, i)
+        mem.rs = np.random.RandomState(100 + i)
+        mb = agent_b.update_parameters(mem, i)
+        assert abs(ma["sac/critic_loss"] - mb["sac/critic_loss"]) < 1e-4
+
+    pa = jax.device_get(agent_a.train_state.params)
+    pb = jax.device_get(agent_b.train_state.params)
+    for a, b in zip(jax.tree_util.tree_leaves(pa), jax.tree_util.tree_leaves(pb)):
+        np.testing.assert_allclose(a, b, rtol=2e-4, atol=2e-5)
+
+
+def test_device_replay_roundtrip():
+    from pointcloud_rl_tpu.env import DeviceReplayMemory
+
+    mem = DeviceReplayMemory(capacity=10, seed=0)
+    def batch(lo, n):
+        return dict(
+            obs=np.arange(lo, lo + n, dtype=np.float32)[:, None],
+            actions=np.zeros((n, 2), np.float32),
+            rewards=np.ones((n, 1), np.float32),
+            dones=np.zeros((n, 1), bool),
+            episode_dones=np.zeros((n, 1), bool),
+            infos={"dropped": np.zeros(n)},
+        )
+    mem.push_batch(batch(0, 6))
+    assert len(mem) == 6
+    mem.push_batch(batch(6, 6))  # wraparound
+    assert len(mem) == 10 and mem.position == 2
+    all_data = mem.get_all()
+    assert "infos" not in all_data
+    np.testing.assert_array_equal(np.sort(all_data["obs"][:, 0]), np.arange(2, 12))
+    s = mem.sample(32)
+    assert s["obs"].shape == (32, 1)
+    assert isinstance(s["obs"], jax.Array)
+    tail = mem.tail(3)
+    np.testing.assert_array_equal(tail["obs"][:, 0], [9.0, 10.0, 11.0])
+
+
+def test_device_replay_trains_sac():
+    from pointcloud_rl_tpu.env import DeviceReplayMemory
+
+    data = _state_data(n=128)
+    mem = DeviceReplayMemory(capacity=256, seed=0)
+    mem.push_batch(data)
+    agent = build_agent(_state_agent_cfg())
+    m = agent.update_parameters(mem, 0)
+    assert np.isfinite(m["sac/critic_loss"])
+    # lazy path + reduce
+    vec = agent.update_parameters_lazy(mem, 1)
+    vec = vec + agent.update_parameters_lazy(mem, 2)
+    metrics = agent.reduce_metric_vecs(vec, 2)
+    assert np.isfinite(metrics["sac/critic_loss"])
+    assert metrics["sac/grad_steps"] == 2
