@@ -39,7 +39,7 @@ def build_agent():
 
     from pointcloud_rl_tpu.algorithms import build_agent as _build
 
-    cfg = _agent_cfg(N_POINTS, ACTION_DIM)
+    cfg = _agent_cfg(N_POINTS, ACTION_DIM, fused=True)  # Pallas fused PointNet body
     cfg["batch_size"] = BATCH
     return _build(cfg)
 

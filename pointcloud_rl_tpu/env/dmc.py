@@ -65,6 +65,7 @@ class DMCEnv(Env):
         camera_id: int = 0,
         z_to_world: bool = True,
         fix_base_z: Optional[float] = None,
+        use_native: bool = True,
     ):
         assert obs_mode in ("state", "rgb", "rgbd", "depth", "pointcloud", "xyz-img")
         self.env = env
@@ -78,6 +79,9 @@ class DMCEnv(Env):
         self.camera_id = camera_id
         self.z_to_world = z_to_world
         self.fix_base_z = fix_base_z
+        from ..native import available as native_available
+
+        self.use_native = bool(use_native) and native_available()
 
         spec = env.action_spec()
         self.min_action = np.float32(spec.minimum)
@@ -164,6 +168,8 @@ class DMCEnv(Env):
         obs = {}
         if self.obs_mode in ("pointcloud", "xyz-img"):
             cam_pos, cam_rot = self.get_cam_pose()
+            if self.obs_mode == "pointcloud" and self.use_native:
+                return self._native_pointcloud_obs(rgb, depth, sign, cam_pos, cam_rot)
             xyz = self._unproject(depth) @ cam_rot.T  # world-oriented, camera-centered
             if self.z_to_world:
                 xyz[..., -1] += cam_pos[-1]
@@ -218,6 +224,26 @@ class DMCEnv(Env):
             else:
                 out[k] = v
         return out
+
+    def _native_pointcloud_obs(self, rgb, depth, sign, cam_pos, cam_rot):
+        """C++ fast path: unproject + ground/body split sample in one pass
+        (csrc/pcrl_native.cpp); deterministic via the env's RNG stream."""
+        from .. import native
+
+        z_off = float(cam_pos[-1]) if self.z_to_world else 0.0
+        xyz_img = native.unproject_depth(depth, self.inv_intrinsic, cam_rot, z_off)
+        seed = int(self.np_random.randint(2**31))
+        out_xyz, out_rgb, _ = native.ground_body_split_sample(
+            xyz_img.reshape(-1, 3),
+            np.ascontiguousarray(rgb.reshape(-1, 3)),
+            sign.reshape(-1).astype(np.uint8),
+            float(self.ground_eps),
+            self.n_points - self.num_ground,
+            self.num_ground,
+            seed,
+            fix_base_z=self.fix_base_z,
+        )
+        return {"xyz": np.ascontiguousarray(out_xyz.T), "rgb": np.ascontiguousarray(out_rgb.T)}
 
     # ---------------------------------------------------------------- step
     def seed(self, seed):

@@ -53,6 +53,7 @@ def pcd_base(
     min_pts: int = 50,
     fg_pts: int = 800,
     np_random: Optional[np.random.RandomState] = None,
+    use_native: Optional[bool] = None,
 ) -> Dict[str, np.ndarray]:
     """Seg-aware balanced downsampling (reference observation_process.py:29-70).
 
@@ -63,6 +64,18 @@ def pcd_base(
     4. If the selection is short, tile indices up to n_points.
     """
     rng = np_random or np.random
+    if use_native is None or use_native:
+        from ..native import available, seg_balanced_sample_indices
+
+        if available() and "seg" in obs and (use_native or use_native is None):
+            seed = int(rng.randint(2**31)) if hasattr(rng, "randint") else 0
+            idx = seg_balanced_sample_indices(
+                np.ascontiguousarray(obs["xyz"], np.float32),
+                np.ascontiguousarray(obs["seg"]).astype(np.uint8),
+                n_points, min_pts, fg_pts, seed,
+            )
+            _select(obs, idx)
+            return obs
     _select(obs, obs["xyz"][:, 2] > 1e-3)
 
     seg = obs["seg"]

@@ -103,8 +103,44 @@ class PointNet(nn.Module):
     act_cfg: Any = "ReLU"
     ignore_first_ln: bool = False
     num_patch: int = 1  # config parity; unused
+    fused: bool = False  # Pallas fused body (ops/pointnet_fused.py)
+
+    def _fused_supported(self) -> bool:
+        return (
+            self.fused
+            and len(self.mlp_spec) == 3
+            and not self.feature_transform
+            and self.ignore_first_ln
+            and self.global_feat
+            and (self.act_cfg in ("ReLU", {"type": "ReLU"}) or getattr(self.act_cfg, "get", lambda *_: None)("type") == "ReLU")
+        )
 
     def setup(self):
+        if self._fused_supported():
+            from .init import make_torch_bias_init, torch_default_kernel_init as tinit
+
+            dims = [self.feat_dim] + list(self.mlp_spec)
+            self.fw1 = self.param("fused_w1", tinit, (dims[0], dims[1]))
+            self.fb1 = self.param("fused_b1", make_torch_bias_init(dims[0]), (dims[1],))
+            self.fw2 = self.param("fused_w2", tinit, (dims[1], dims[2]))
+            self.fb2 = self.param("fused_b2", make_torch_bias_init(dims[1]), (dims[2],))
+            self.fg2 = self.param("fused_ln2_scale", nn.initializers.ones, (dims[2],))
+            self.fe2 = self.param("fused_ln2_bias", nn.initializers.zeros, (dims[2],))
+            self.fw3 = self.param("fused_w3", tinit, (dims[2], dims[3]))
+            self.fb3 = self.param("fused_b3", make_torch_bias_init(dims[2]), (dims[3],))
+            self.fg3 = self.param("fused_ln3_scale", nn.initializers.ones, (dims[3],))
+            self.fe3 = self.param("fused_ln3_bias", nn.initializers.zeros, (dims[3],))
+            if self.out_channels is not None:
+                self.final_dense = nn.Dense(
+                    self.out_channels,
+                    kernel_init=torch_default_kernel_init,
+                    bias_init=make_torch_bias_init(dims[-1]),
+                )
+                self.final_ln = nn.LayerNorm()
+            return
+        self._setup_unfused()
+
+    def _setup_unfused(self):
         default_norm = {"type": "LN", "eps": 1e-6}
         norm = self.norm_cfg if self.norm_cfg is not None else default_norm
         self._norm = norm
@@ -130,6 +166,15 @@ class PointNet(nn.Module):
 
     def __call__(self, obs, **kwargs):
         feature = preprocess_pointcloud(obs)  # [B, N, C]
+        if self._fused_supported():
+            from ..ops.pointnet_fused import fused_pointnet_body
+
+            params = (self.fw1, self.fb1, self.fw2, self.fb2, self.fg2, self.fe2,
+                      self.fw3, self.fb3, self.fg3, self.fe3)
+            pooled = fused_pointnet_body(feature.astype(jnp.float32), params)
+            if self.out_channels is not None:
+                pooled = self.final_ln(self.final_dense(pooled))
+            return pooled
         if 1 in self.feature_transform:
             xyz = feature[..., :3]
             trans = self.stn(xyz)

@@ -222,7 +222,7 @@ def test_pcd_base_balanced_sampling():
     }
     obs["seg"][:30, 0] = True       # tiny segment -> gets all 30 (min_pts=50 > 30)
     obs["seg"][30:1500, 1] = True   # large segment
-    out = pcd_base(dict(obs), n_points=1200, min_pts=50, fg_pts=800, np_random=rs)
+    out = pcd_base(dict(obs), n_points=1200, min_pts=50, fg_pts=800, np_random=rs, use_native=False)
     assert out["xyz"].shape == (1200, 3)
     assert out["seg"][:, 0].sum() == 30  # all of the tiny segment kept
     assert out["seg"][:, 1].sum() >= 700  # large segment dominates foreground budget
