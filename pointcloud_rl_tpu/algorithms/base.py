@@ -16,6 +16,30 @@ import jax.numpy as jnp
 import numpy as np
 
 
+def compute_gae(rewards, values, next_values, episode_dones, gamma: float = 0.99, lam: float = 0.95):
+    """Generalized advantage estimation over a [T, ...] trajectory
+    (reference BaseAgent.compute_gae, module_utils.py:193) as a lax.scan.
+
+    Returns (advantages, returns) with the same shape as rewards.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    rewards = jnp.asarray(rewards, jnp.float32)
+    not_done = 1.0 - jnp.asarray(episode_dones, jnp.float32)
+    deltas = rewards + gamma * jnp.asarray(next_values) * not_done - jnp.asarray(values)
+
+    def scan_fn(carry, x):
+        delta, nd = x
+        adv = delta + gamma * lam * nd * carry
+        return adv, adv
+
+    _, adv_rev = jax.lax.scan(scan_fn, jnp.zeros_like(deltas[0]), (deltas[::-1], not_done[::-1]))
+    advantages = adv_rev[::-1]
+    returns = advantages + jnp.asarray(values)
+    return advantages, returns
+
+
 def example_obs_from_shape(obs_shape, batch: int = 1):
     """Synthesize a zero observation batch matching the env's obs shapes.
 

@@ -66,6 +66,7 @@ class SAC(BaseAgent):
         detach_actor_feature=False,
         target_smooth=0.90,
         pre_process=None,
+        obs_rms: bool = False,
         seed: int = 0,
         metric_prefix: str = "sac",
     ):
@@ -83,6 +84,15 @@ class SAC(BaseAgent):
         self.detach_actor_feature = bool(detach_actor_feature)
         self.metric_prefix = metric_prefix
         self.obs_processor = build_data_augmentations(pre_process)
+        # Optional host-side observation normalization (reference
+        # BaseAgent.process_obs obs RMS; flat-state observations only).
+        self.obs_rms = None
+        if obs_rms:
+            from ..utils.stats import RunningMeanStd
+
+            shape = env_params["obs_shape"]
+            assert not isinstance(shape, dict), "obs_rms supports flat state observations"
+            self.obs_rms = RunningMeanStd(shape=(shape if isinstance(shape, int) else int(np.prod(shape)),))
 
         actor_cfg, critic_cfg = dict(actor_cfg), dict(critic_cfg)
         actor_optim_cfg = actor_cfg.pop("optim_cfg", None)
@@ -177,6 +187,11 @@ class SAC(BaseAgent):
         batch = dict(sampled)
         if self.use_episode_dones:
             batch["dones"] = batch["episode_dones"]
+        if self.obs_rms is not None:
+            assert isinstance(batch["obs"], np.ndarray), "obs_rms requires a host replay buffer"
+            self.obs_rms.update(batch["obs"])
+            batch["obs"] = self.obs_rms.normalize(batch["obs"])
+            batch["next_obs"] = self.obs_rms.normalize(batch["next_obs"])
         for key in ("rewards", "dones"):
             arr = batch[key]
             if getattr(arr, "ndim", None) == 1:  # works for np and device arrays
@@ -311,7 +326,13 @@ class SAC(BaseAgent):
 
     def _update_step(self, state: SACState, batch):
         p = self.metric_prefix
-        rng, k_next, k_pi = jax.random.split(state.rng, 3)
+        rng, k_next, k_pi, k_pre = jax.random.split(state.rng, 4)
+        if self.obs_processor is not None:
+            # pre_process augmentations run inside the jitted step
+            # (reference BaseAgent.process_obs, module_utils.py:138).
+            batch = dict(batch)
+            batch["obs"] = self.obs_processor(k_pre, batch["obs"])
+            batch["next_obs"] = self.obs_processor(jax.random.fold_in(k_pre, 1), batch["next_obs"])
         q_target = self._compute_q_target(state.params, state.target_params, state.log_alpha, batch, k_next)
         params, critic_opt, critic_loss, q, critic_gnorm, abs_err = self._critic_step(
             state.params, state.critic_opt, batch, q_target

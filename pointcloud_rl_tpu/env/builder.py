@@ -38,6 +38,10 @@ def _build_base_env(env_name: str, obs_mode: str, **kwargs) -> Env:
         from .dist_env import DistEnv
 
         return DistEnv(obs_mode=obs_mode, **kwargs)
+    if env_name.startswith("FakeManipulation"):
+        from .fake_manipulation import FakeManipulationEnv
+
+        return FakeManipulationEnv(obs_mode=obs_mode, **kwargs)
     if any(env_name.startswith(p) for p in ("OpenCabinetDoor", "OpenCabinetDrawer", "PushChair", "MoveBucket")):
         from .maniskill import build_maniskill_env
 
