@@ -49,6 +49,11 @@ class ReplayMemory:
         sampling_cfg.setdefault("seed", seed)
         self.sampling = build_sampling(sampling_cfg)
         self._traj_cache: Dict[int, List[dict]] = {}
+        # Episode tracking for T-step window sampling (TStepTransition):
+        # global (monotonic) index spans per completed episode; a span is
+        # valid while none of it has been overwritten by the ring.
+        self._episode_spans: List[tuple] = []  # (global_start, length)
+        self._open_episodes: Dict[int, tuple] = {}  # worker -> (global_start, length)
         if buffer_filenames:
             for fn in buffer_filenames:
                 self.load_hdf5(fn)
@@ -92,7 +97,52 @@ class ReplayMemory:
             tree_assign(self.memory, slice(self.position, self.capacity), tree_slice(items, slice(0, first)))
             tree_assign(self.memory, slice(0, end - self.capacity), tree_slice(items, slice(first, batch)))
         self.position = end % self.capacity
+        self._track_episodes(items, batch)
         self.running_count += batch
+
+    def _track_episodes(self, items: Dict[str, Any], batch: int) -> None:
+        if "episode_dones" not in items:
+            return
+        dones = np.asarray(items["episode_dones"]).reshape(batch)
+        widx = (
+            np.asarray(items["worker_indices"]).reshape(batch)
+            if "worker_indices" in items
+            else np.zeros(batch, np.int64)
+        )
+        for row in range(batch):
+            g = self.running_count + row
+            w = int(widx[row])
+            start, length = self._open_episodes.get(w, (g, 0))
+            if length == 0:
+                start = g
+            length += 1
+            if bool(dones[row]):
+                self._episode_spans.append((start, length))
+                self._open_episodes.pop(w, None)
+            else:
+                self._open_episodes[w] = (start, length)
+        # Drop spans partially overwritten by the ring.
+        min_valid = self.running_count + batch - self.capacity
+        if min_valid > 0:
+            self._episode_spans = [(s, l) for (s, l) in self._episode_spans if s >= min_valid]
+
+    def sample_windows(self, batch_size: int, horizon: Optional[int] = None) -> Dict[str, Any]:
+        """[B, H] temporal windows from completed episodes (TStepTransition
+        semantics, reference sampling_strategy.py:105-246).  Adds an
+        ``is_valid`` [B, H] mask covering episode-shorter-than-horizon pads."""
+        from .sampling_strategy import TStepTransition
+
+        assert isinstance(self.sampling, TStepTransition), "sample_windows needs sampling_cfg type TStepTransition"
+        horizon = horizon or self.sampling.horizon
+        min_valid = max(self.running_count - self.capacity, 0)
+        spans = [(s, s + l) for (s, l) in self._episode_spans if s >= min_valid]
+        idx_g, mask = self.sampling.sample_windows(batch_size, spans)
+        flat = (idx_g % self.capacity).reshape(-1)
+        out = tree_take(self.memory, flat)
+        H = idx_g.shape[1]
+        out = tree_map(lambda x: x.reshape((batch_size, H) + x.shape[1:]), out)
+        out["is_valid"] = mask
+        return out
 
     def push(self, item: Dict[str, Any]) -> None:
         self.push_batch(tree_map(lambda x: np.asarray(x)[None], item))

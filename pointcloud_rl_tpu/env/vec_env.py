@@ -27,22 +27,40 @@ from .spaces import stack_action_space
 
 # ---------------------------------------------------------------- workers
 def _worker_loop(env_fn_cfg, worker_seed, conn):
-    """Subprocess body: build env, serve commands over the pipe."""
+    """Subprocess body: build env, serve commands over the pipe.
+
+    Once a shared-memory buffer is attached, observations are written into
+    the worker's slot instead of being pickled through the pipe (the
+    reference's BufferAugmentedEnv + SharedDictArray obs plane)."""
     # Env workers must not oversubscribe BLAS threads.
     for var in ("OMP_NUM_THREADS", "OPENBLAS_NUM_THREADS", "MKL_NUM_THREADS"):
         os.environ[var] = "1"
+    from ..utils.shmem import SharedTreeBuffer
     from .builder import build_env
 
     env = build_env(env_fn_cfg)
     if worker_seed is not None:
         env.seed(worker_seed)
+    buffer, slot = None, 0
+
+    def _ship_obs(obs):
+        if buffer is None:
+            return obs
+        buffer.write(slot, obs)
+        return None
+
     try:
         while True:
             cmd, payload = conn.recv()
             if cmd == "reset":
-                conn.send(env.reset(**(payload or {})))
+                conn.send(_ship_obs(env.reset(**(payload or {}))))
             elif cmd == "step":
-                conn.send(env.step(payload))
+                obs, reward, done, info = env.step(payload)
+                conn.send((_ship_obs(obs), reward, done, info))
+            elif cmd == "attach_buffer":
+                meta, slot = payload
+                buffer = SharedTreeBuffer.attach(meta)
+                conn.send(None)
             elif cmd == "call":
                 name, args, kwargs = payload
                 conn.send(getattr(env, name)(*args, **(kwargs or {})))
@@ -55,6 +73,8 @@ def _worker_loop(env_fn_cfg, worker_seed, conn):
                 conn.send(None)
                 break
     finally:
+        if buffer is not None:
+            buffer.close()
         env.close()
         conn.close()
 
@@ -160,9 +180,13 @@ class SingleEnv2VecEnv(VectorEnvBase):
 
 
 class VectorEnv(VectorEnvBase):
-    """N subprocess envs (reference vec_env.py:412)."""
+    """N subprocess envs (reference vec_env.py:412).
 
-    def __init__(self, env_cfgs, seeds: Optional[List[int]] = None):
+    With use_shared_memory (default), observations travel through a
+    SharedTreeBuffer slot per worker instead of the pipe; the buffer is
+    created lazily from the first reset's observation."""
+
+    def __init__(self, env_cfgs, seeds: Optional[List[int]] = None, use_shared_memory: bool = True):
         self.num_envs = len(env_cfgs)
         seeds = seeds or [None] * self.num_envs
         ctx = mp.get_context("fork")
@@ -171,9 +195,21 @@ class VectorEnv(VectorEnvBase):
         self.action_space = stack_action_space(self.single_action_space, self.num_envs)
         self.is_discrete = self.workers[0].ask("getattr", "is_discrete")
         self.reward_scale = self.workers[0].ask("getattr", "reward_scale")
+        self.use_shared_memory = use_shared_memory
+        self._shm = None
 
     def _idx(self, idx):
         return np.arange(self.num_envs) if idx is None else np.asarray(idx)
+
+    def _setup_buffer(self, example_obs) -> None:
+        from ..utils.shmem import SharedTreeBuffer
+
+        self._shm = SharedTreeBuffer.create(example_obs, self.num_envs)
+        for i, w in enumerate(self.workers):
+            w.ask("attach_buffer", (self._shm.meta, i))
+
+    def _obs_of(self, payload, i):
+        return self._shm.read(int(i)) if payload is None else payload
 
     def reset(self, idx=None, level=None, **kwargs):
         idx = self._idx(idx)
@@ -182,7 +218,9 @@ class VectorEnv(VectorEnvBase):
             if level is not None:
                 kw["level"] = level[rank] if isinstance(level, (list, np.ndarray)) else level
             self.workers[i].send("reset", kw)
-        obs = [self.workers[i].recv() for i in idx]
+        obs = [self._obs_of(self.workers[i].recv(), i) for i in idx]
+        if self.use_shared_memory and self._shm is None:
+            self._setup_buffer(obs[0])
         return tree_stack(obs, 0)
 
     def step(self, actions, idx=None):
@@ -190,7 +228,7 @@ class VectorEnv(VectorEnvBase):
         for rank, i in enumerate(idx):
             self.workers[i].send("step", actions[rank])
         results = [self.workers[i].recv() for i in idx]
-        obs = tree_stack([r[0] for r in results], 0)
+        obs = tree_stack([self._obs_of(r[0], i) for r, i in zip(results, idx)], 0)
         rewards = np.array([[np.float32(r[1])] for r in results])
         dones = np.array([[bool(r[2])] for r in results])
         infos = [r[3] for r in results]
@@ -238,6 +276,9 @@ class VectorEnv(VectorEnvBase):
     def close(self):
         for w in self.workers:
             w.close()
+        if self._shm is not None:
+            self._shm.close()
+            self._shm = None
 
 
 class UnifiedVectorEnvAPI(VectorEnvBase):
