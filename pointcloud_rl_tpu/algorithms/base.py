@@ -16,6 +16,29 @@ import jax.numpy as jnp
 import numpy as np
 
 
+def run_with_mini_batch(fn, data, batch_size: int = 256):
+    """Apply a (jitted) function over leading-axis minibatches and
+    concatenate results (reference run_with_mini_batch, misc.py:43-177).
+    Pads the tail chunk to the full batch size to avoid extra compiles."""
+    import numpy as np
+
+    from ..utils.tree_ops import first_leaf, tree_concat, tree_map, tree_slice
+
+    n = len(first_leaf(data))
+    outs = []
+    for s in range(0, n, batch_size):
+        chunk = tree_slice(data, slice(s, min(s + batch_size, n)))
+        m = len(first_leaf(chunk))
+        if m < batch_size:
+            pad = tree_map(lambda x: np.concatenate([x, np.repeat(x[-1:], batch_size - m, 0)]), chunk)
+            out = fn(pad)
+            out = tree_map(lambda x: np.asarray(x)[:m], out)
+        else:
+            out = tree_map(np.asarray, fn(chunk))
+        outs.append(out)
+    return tree_concat(outs, 0)
+
+
 def compute_gae(rewards, values, next_values, episode_dones, gamma: float = 0.99, lam: float = 0.95):
     """Generalized advantage estimation over a [T, ...] trajectory
     (reference BaseAgent.compute_gae, module_utils.py:193) as a lax.scan.
@@ -107,8 +130,28 @@ class BaseAgent:
             obs = packed if state is None else {"state": state, "packed": packed}
         if mode not in self._act_fns:
             self._act_fns[mode] = self._build_act(mode)
+        model = getattr(self, "model", None)
+        if model is not None and getattr(model, "is_recurrent", False):
+            leaf = obs if not isinstance(obs, dict) else next(iter(obs.values()))
+            B = leaf.shape[0]
+            if getattr(self, "_rnn_states", None) is None or self._rnn_states.shape[0] != B:
+                self._rnn_states = model.rnn.initial_state(B)
+            actions, self._rnn_states, self.train_state = self._act_fns[mode](
+                self.train_state, obs, self._rnn_states
+            )
+            return np.asarray(actions)
         actions, self.train_state = self._act_fns[mode](self.train_state, obs)
         return np.asarray(actions)
+
+    def reset_rnn_states(self, dones=None) -> None:
+        """Zero recurrent states (for done envs when ``dones`` [B, 1] given)."""
+        if getattr(self, "_rnn_states", None) is None:
+            return
+        if dones is None:
+            self._rnn_states = None
+        else:
+            mask = 1.0 - np.asarray(dones, np.float32).reshape(-1, 1, 1)
+            self._rnn_states = self._rnn_states * mask
 
     def __call__(self, obs, mode: str = "explore", **kwargs):
         return self.forward(obs, mode=mode, **kwargs)

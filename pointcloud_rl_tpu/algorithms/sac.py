@@ -132,10 +132,15 @@ class SAC(BaseAgent):
         target_params = self.model.init_target_params(params)
 
         # ---- optimizers (masked to the owning subtrees) --------------------
-        actor_mask = {"actor": True, "visual": (not self.shared_backbone) and ("visual" in params)}
+        actor_mask = {
+            "actor": True,
+            "visual": (not self.shared_backbone) and ("visual" in params),
+            "rnn": (not self.shared_backbone) and ("rnn" in params),
+        }
         critic_mask = {
             "critic": True,
             "visual": self.shared_backbone and ("visual" in params),
+            "rnn": self.shared_backbone and ("rnn" in params),
             "critic_visual": "critic_visual" in params,
         }
         self.actor_tx = make_optimizer(actor_optim_cfg, params, extra_mask=actor_mask)
@@ -172,6 +177,21 @@ class SAC(BaseAgent):
         head_mode = {"eval": "eval", "mean": "eval"}.get(mode, "explore")
         inference_aug = getattr(self, "inference_aug", None)
 
+        if self.model.is_recurrent:
+
+            @jax.jit
+            def act_recurrent(state: SACState, obs, rnn_states):
+                rng, k_s, k_aug = jax.random.split(state.rng, 3)
+                if inference_aug is not None and isinstance(obs, dict):
+                    obs = inference_aug(k_aug, obs)
+                out, _, next_states = self.model.actor_apply(
+                    state.params, obs, mode=head_mode, rng=k_s,
+                    rnn_states=rnn_states, rnn_mode="with_states",
+                )
+                return out, next_states, state.replace(rng=rng)
+
+            return act_recurrent
+
         @jax.jit
         def act(state: SACState, obs):
             rng, k_s, k_aug = jax.random.split(state.rng, 3)
@@ -202,7 +222,11 @@ class SAC(BaseAgent):
         """One gradient step; returns the packed metric vector WITHOUT any
         host sync, so callers can pipeline updates with host work (env
         stepping) and fetch metrics only at log time."""
-        sampled = memory.sample(self.batch_size)
+        if self.model.is_recurrent:
+            horizon = getattr(memory.sampling, "horizon", 8)
+            sampled = memory.sample_windows(self.batch_size, horizon)
+        else:
+            sampled = memory.sample(self.batch_size)
         batch = self._prepare_batch(sampled)
         self.train_state, metric_vec = self._update_jit(self.train_state, batch)
         # Cap the async dispatch depth: on remote/tunneled devices an
@@ -324,7 +348,120 @@ class SAC(BaseAgent):
             alpha_loss = jnp.zeros(())
         return params, actor_opt, log_alpha, alpha_opt, actor_loss, alpha_loss, entropy_term, actor_gnorm, q_match
 
+    def _update_step_recurrent(self, state: SACState, batch):
+        """Sequence SAC update over [B, H] windows (reference sac.py:110-128):
+        the target path runs the actor/target-critic over the sequence
+        [first obs frame, next_obs...] of length H+1 so the rnn state at each
+        next_obs is conditioned on the window history; losses are masked by
+        the window validity."""
+        p = self.metric_prefix
+        model = self.model
+        rng, k_next, k_pi = jax.random.split(state.rng, 3)
+        alpha = jnp.exp(state.log_alpha)
+        is_valid = batch["is_valid"][..., None].astype(jnp.float32)  # [B, H, 1]
+        rewards = batch["rewards"] * self.reward_scale  # [B, H, 1]
+        dones = batch["dones"].astype(jnp.float32)
+
+        first = jax.tree_util.tree_map(lambda x: x[:, :1], batch["obs"])
+        next_seq = jax.tree_util.tree_map(
+            lambda f, n: jnp.concatenate([f, n], axis=1), first, batch["next_obs"]
+        )  # [B, H+1, ...]
+
+        (next_actions, neg_logp), _ = model.actor_apply(
+            state.params, next_seq, mode="max-entropy", rng=k_next, seq=True
+        )
+        q_next = model.target_critic_apply(state.params, state.target_params, next_seq,
+                                           actions=next_actions, seq=True)
+        min_q_next = q_next.min(axis=-1, keepdims=True) + alpha * neg_logp  # [B, H+1, 1]
+        min_q_next = min_q_next[:, 1:]
+        if self.ignore_dones:
+            q_target = rewards + self.gamma * min_q_next
+        else:
+            q_target = rewards + (1.0 - dones) * self.gamma * min_q_next
+        q_target = jax.lax.stop_gradient(q_target)
+
+        def critic_loss_fn(params):
+            q = model.critic_apply(params, batch["obs"], actions=batch["actions"], seq=True)  # [B, H, num_q]
+            err = (q - q_target) ** 2 * is_valid
+            # masked mean over valid frames, x num_q (reference critic loss scale)
+            loss = err.sum() / jnp.maximum(is_valid.sum() * model.num_q, 1.0) * model.num_q
+            return loss, q
+
+        (critic_loss, q), grads = jax.value_and_grad(critic_loss_fn, has_aux=True)(state.params)
+        upd, critic_opt = self.critic_tx.update(grads, state.critic_opt, state.params)
+        params = jax.tree_util.tree_map(lambda a, b: a + b, state.params, upd)
+        critic_gnorm = global_grad_norm(grads, mask_keys={"critic", "visual", "rnn", "critic_visual"})
+        abs_err = (jnp.abs(q - q_target) * is_valid).max()
+
+        def do_actor(operand):
+            params, aopt, la, laopt = operand
+            alpha_c = jax.lax.stop_gradient(jnp.exp(la))
+
+            def loss_fn(prm):
+                (pi, nlp), feat = model.actor_apply(
+                    prm, batch["obs"], mode="max-entropy", rng=k_pi, seq=True,
+                    detach_visual=self.detach_actor_feature,
+                )
+                ent = (nlp * is_valid).sum() / jnp.maximum(is_valid.sum(), 1.0)
+                vf = jax.lax.stop_gradient(feat) if (self.shared_backbone and feat is not None) else None
+                q_pi = model.critic_apply(prm, batch["obs"], actions=pi, visual_feature=vf, seq=True)
+                q_pi = q_pi.min(axis=-1, keepdims=True)
+                q_term = (q_pi * is_valid).sum() / jnp.maximum(is_valid.sum(), 1.0)
+                return -(q_term + alpha_c * ent), ent
+
+            (a_loss, ent), agrads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+            aupd, aopt = self.actor_tx.update(agrads, aopt, params)
+            prm = jax.tree_util.tree_map(lambda a, b: a + b, params, aupd)
+            a_g = global_grad_norm(agrads, mask_keys={"actor"})
+            if self.automatic_alpha_tuning:
+                ent_sg = jax.lax.stop_gradient(ent)
+                al_loss, la_grads = jax.value_and_grad(
+                    lambda d: jnp.exp(d["log_alpha"]) * (ent_sg - self.target_entropy)
+                )({"log_alpha": la})
+                la_upd, laopt = self.alpha_tx.update(la_grads, laopt, {"log_alpha": la})
+                la = la + la_upd["log_alpha"]
+            else:
+                al_loss = jnp.zeros(())
+            return prm, aopt, la, laopt, (a_loss, al_loss, ent, a_g, jnp.zeros(()), jnp.ones(()))
+
+        def skip_actor(operand):
+            params, aopt, la, laopt = operand
+            z = jnp.zeros(())
+            return params, aopt, la, laopt, (z, z, z, z, z, z)
+
+        params, actor_opt, log_alpha, alpha_opt, actor_metrics = jax.lax.cond(
+            state.updates % self.actor_update_interval == 0,
+            do_actor, skip_actor, (params, state.actor_opt, state.log_alpha, state.alpha_opt),
+        )
+        a_loss, al_loss, ent, a_gnorm, q_match, actor_updated = actor_metrics
+        target_params = jax.lax.cond(
+            state.updates % self.target_update_interval == 0,
+            lambda t: soft_update(t, params, self.tau_tree), lambda t: t, state.target_params,
+        )
+        new_state = state.replace(
+            params=params, target_params=target_params, log_alpha=log_alpha,
+            actor_opt=actor_opt, critic_opt=critic_opt, alpha_opt=alpha_opt,
+            rng=rng, updates=state.updates + 1,
+        )
+        metrics = {
+            f"{p}/critic_loss": critic_loss,
+            f"{p}/max_critic_abs_err": abs_err,
+            f"{p}/alpha": jnp.exp(log_alpha),
+            f"{p}/q": q.min(axis=-1).mean(),
+            f"{p}/q_target": q_target.mean(),
+            f"{p}/critic_grad": critic_gnorm,
+            f"{p}/actor_loss": a_loss,
+            f"{p}/alpha_loss": al_loss,
+            f"{p}/entropy": ent,
+            f"{p}/actor_grad": a_gnorm,
+            f"{p}/q_match_rate": q_match,
+            f"{p}/actor_updated": actor_updated,
+        }
+        return new_state, metrics
+
     def _update_step(self, state: SACState, batch):
+        if self.model.is_recurrent:
+            return self._update_step_recurrent(state, batch)
         p = self.metric_prefix
         rng, k_next, k_pi, k_pre = jax.random.split(state.rng, 4)
         if self.obs_processor is not None:

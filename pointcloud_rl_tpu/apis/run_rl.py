@@ -38,6 +38,8 @@ def parse_args(args=None):
     parser.add_argument("--cfg-options", nargs="+", action=DictAction, help="override config entries a.b=v")
     parser.add_argument("--evaluation", "--eval", dest="evaluation", action="store_true", help="eval only")
     parser.add_argument("--resume-from", default=None, help="checkpoint to resume from")
+    parser.add_argument("--resume-keys-map", nargs="+", action=DictAction, default=None,
+                        help="regex=replacement key rewrites applied to the restored checkpoint")
     parser.add_argument("--auto-resume", action="store_true", help="resume from latest checkpoint in work dir")
     parser.add_argument("--num-gpus", "--num-devices", dest="num_devices", type=int, default=None,
                         help="data-parallel device count (mesh axis size)")
@@ -143,7 +145,7 @@ def run(cfg: Config, work_dir: str, seed: int, args) -> None:
         resume_path, resume_steps = find_checkpoint(work_dir)
     if resume_path:
         logger.info(f"Resuming from {resume_path} (step {resume_steps})")
-        agent.load_state_dict(load_checkpoint(resume_path, agent.state_dict()))
+        agent.load_state_dict(load_checkpoint(resume_path, agent.state_dict(), keys_map=getattr(args, "resume_keys_map", None)))
         resume_steps = int(train_cfg.get("resume_steps", resume_steps))
 
     exp_logger_cfg = train_cfg.pop("exp_logger_cfg", dict(type="tensorboard"))

@@ -127,10 +127,13 @@ def train_rl(
             elapsed = time.monotonic() - begin_time
             rate = (steps - begin_steps) / max(elapsed, 1e-9)
             eta = format_eta((total_steps - steps) / max(rate, 1e-9))
+            from ..utils.process import get_total_memory_mb
+
             diag = {
                 "buffer_size": len(replay) if replay is not None else 0,
                 "total_grad_steps": total_updates,
                 "samples_per_sec": rate,
+                "memory_mb": get_total_memory_mb(),
                 **{k: v for k, v in time_sums.items()},
             }
             line = (

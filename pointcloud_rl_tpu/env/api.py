@@ -75,6 +75,14 @@ class Wrapper(Env):
     def render(self, mode="rgb_array", **kwargs):
         return self.env.render(mode, **kwargs)
 
+    # explicit forwarding: these have defaults on Env, which would otherwise
+    # shadow the wrapped env's implementations (__getattr__ is a fallback)
+    def get_obs(self):
+        return self.env.get_obs()
+
+    def get_env_state(self):
+        return self.env.get_env_state()
+
     def close(self):
         return self.env.close()
 

@@ -80,6 +80,35 @@ class Evaluation:
         with slot reuse across the vec env (reference evaluation.py:99-250)."""
         num = num or self.num
         video_writers = [None] * self.num_envs
+        traj_buffers = [[] for _ in range(self.num_envs)] if self.save_traj else None
+        traj_file = None
+        if self.save_traj and work_dir is not None:
+            import h5py
+
+            os.makedirs(work_dir, exist_ok=True)
+            traj_file = h5py.File(osp.join(work_dir, "trajectory.h5"), "w")
+
+        def _dump_traj(slot, episode_idx):
+            """One HDF5 group per episode: obs/actions/rewards/dones/env_states
+            (reference evaluation.py:173-181,224-226)."""
+            if traj_file is None or not traj_buffers[slot]:
+                return
+            from ..utils.tree_ops import tree_map as _tm
+
+            steps = traj_buffers[slot]
+            stacked = _tm(lambda *xs: np.stack(xs), *steps)
+            group = traj_file.create_group(f"traj_{episode_idx}")
+
+            def _write(g, node, name=None):
+                if isinstance(node, dict):
+                    sub = g.create_group(name) if name else g
+                    for k, v in node.items():
+                        _write(sub, v, str(k))
+                else:
+                    g.create_dataset(name, data=np.asarray(node), compression="gzip")
+
+            _write(group, stacked)
+            traj_buffers[slot] = []
 
         def _start_video(slot, episode_idx):
             if not self.save_video or work_dir is None:
@@ -112,12 +141,27 @@ class Evaluation:
         while num_finished < num:
             actions = pi(self.vec_env.recent_obs, mode="eval")
             trans = self.vec_env.step_dict(np.asarray(actions), restart=False)
+            if hasattr(pi, "reset_rnn_states") and trans["episode_dones"].any():
+                pi.reset_rnn_states(trans["episode_dones"])
+            env_states = self.vec_env.get_env_state() if self.save_traj else None
             for slot in range(self.num_envs):
                 ep = episode_idx[slot]
                 if ep is None or ep >= num:
                     continue
                 lens[ep] += 1
                 rewards[ep] += float(trans["rewards"][slot, 0])
+                if traj_buffers is not None:
+                    from ..utils.tree_ops import tree_slice as _ts
+
+                    item = dict(
+                        obs=_ts(trans["obs"], slot),
+                        actions=trans["actions"][slot],
+                        rewards=trans["rewards"][slot],
+                        episode_dones=trans["episode_dones"][slot],
+                    )
+                    if env_states and isinstance(env_states[slot], dict) and env_states[slot]:
+                        item["env_states"] = env_states[slot]
+                    traj_buffers[slot].append(item)
                 if video_writers[slot] is not None:
                     frame = self.vec_env.render(idx=[slot])
                     video_writers[slot].append_data(np.asarray(frame[0]) if isinstance(frame, list) else np.asarray(frame))
@@ -127,6 +171,8 @@ class Evaluation:
                     # "finish" = terminated before the time limit (success/early stop)
                     finishes[ep] = bool(trans["dones"][slot, 0])
                     num_finished += 1
+                    if traj_buffers is not None:
+                        _dump_traj(slot, ep)
                     if video_writers[slot] is not None:
                         video_writers[slot].close()
                         video_writers[slot] = None
@@ -143,6 +189,8 @@ class Evaluation:
         for w in video_writers:
             if w is not None:
                 w.close()
+        if traj_file is not None:
+            traj_file.close()
         if work_dir is not None:
             save_eval_statistics(work_dir, lens, rewards, finishes, self.logger)
         return lens, rewards, finishes

@@ -88,6 +88,8 @@ class Rollout:
             self.timer.tick("agent")
             trans = self.vec_env.step_dict(np.asarray(actions))
             self.timer.tick("simulation")
+            if hasattr(pi, "reset_rnn_states") and trans["episode_dones"].any():
+                pi.reset_rnn_states(trans["episode_dones"])
             self.episode_stats.push(trans["rewards"][:, 0], trans["episode_dones"][:, 0])
             if replay is not None:
                 replay.push_batch(trans)
@@ -109,6 +111,8 @@ class Rollout:
             self.timer.tick("agent")
             trans = self.vec_env.step_dict(np.asarray(actions))
             self.timer.tick("simulation")
+            if hasattr(pi, "reset_rnn_states") and trans["episode_dones"].any():
+                pi.reset_rnn_states(trans["episode_dones"])
             self.episode_stats.push(trans["rewards"][:, 0], trans["episode_dones"][:, 0])
             pushed = replay.cache_trajectories(trans, max_push=num - total)
             total += pushed

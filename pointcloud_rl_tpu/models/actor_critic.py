@@ -148,10 +148,15 @@ class ActorCriticModel:
     num_q: int = 2
     share_feature: bool = False
     average_grad: bool = True
+    rnn: Optional[nn.Module] = None  # shared recurrent core (SHARED_KEYS includes "rnn")
+
+    @property
+    def is_recurrent(self) -> bool:
+        return self.rnn is not None
 
     # ------------------------------------------------------------- params
     def init_params(self, rng, example_obs, example_action) -> Dict[str, Any]:
-        kv, kcv, ka, kc, ks = jax.random.split(rng, 5)
+        kv, kcv, ka, kc, ks, kr = jax.random.split(rng, 6)
         params: Dict[str, Any] = {}
         feat = None
         vis_obs, robot_state = split_obs(example_obs)
@@ -162,6 +167,13 @@ class ActorCriticModel:
         if self.critic_visual is not None:
             pcv = self.critic_visual.init({"params": kcv}, vis_obs)
             params["critic_visual"] = pcv["params"]
+        if self.rnn is not None:
+            # reference visuomotor.py:114-121: robot state feeds the rnn
+            # input AND is re-appended after it (line 130).
+            base = self._with_state(feat, robot_state, vis_obs)
+            pr = self.rnn.init({"params": kr}, base)
+            params["rnn"] = pr["params"]
+            feat = self.rnn.apply({"params": params["rnn"]}, base)
         actor_feat = self._with_state(feat, robot_state, vis_obs)
         pa = self.actor.init({"params": ka, "sample": ks}, actor_feat, mode="mean")
         params["actor"] = pa["params"]
@@ -174,7 +186,7 @@ class ActorCriticModel:
         """Hard-copy the subtrees the target owns (builder.py:28-45 semantics)."""
         target = {"critic": jax.tree_util.tree_map(jnp.array, params["critic"])}
         if not self.shared_target_backbone:
-            for key in ("visual", "critic_visual"):
+            for key in ("visual", "critic_visual", "rnn"):  # SHARED_KEYS subtrees
                 if key in params:
                     target[key] = jax.tree_util.tree_map(jnp.array, params[key])
         return target
@@ -191,8 +203,16 @@ class ActorCriticModel:
             return jnp.concatenate([feat, jnp.asarray(robot_state, feat.dtype)], axis=-1)
         return feat
 
-    def encode(self, params, obs, which: str = "actor"):
-        """Visual feature only (the reference's ``saved_visual_feature``)."""
+    @staticmethod
+    def _flatten_time(tree):
+        """[B, T, ...] -> [B*T, ...] for per-frame visual encoders."""
+        leaf = tree if not isinstance(tree, dict) else next(iter(tree.values()))
+        B, T = leaf.shape[:2]
+        flat = jax.tree_util.tree_map(lambda x: x.reshape((B * T,) + x.shape[2:]), tree)
+        return flat, B, T
+
+    def encode(self, params, obs, which: str = "actor", seq: bool = False):
+        """Visual feature only (pre-rnn); handles [B, T, ...] when seq."""
         vis_obs, robot_state = split_obs(obs)
         visual_params = None
         module = self.visual
@@ -200,43 +220,80 @@ class ActorCriticModel:
             module, visual_params = self.critic_visual, params.get("critic_visual")
         elif self.visual is not None:
             visual_params = params["visual"]
-        feat = module.apply({"params": visual_params}, vis_obs) if module is not None else None
+        if module is None:
+            return None, robot_state, vis_obs
+        if seq:
+            flat, B, T = self._flatten_time(vis_obs)
+            feat = module.apply({"params": visual_params}, flat).reshape(B, T, -1)
+        else:
+            feat = module.apply({"params": visual_params}, vis_obs)
         return feat, robot_state, vis_obs
 
-    def actor_apply(self, params, obs, mode: str = "explore", rng=None, detach_visual: bool = False,
-                    visual_feature=None):
-        """Actor forward; with mode="max-entropy" returns (action, neg_logp)."""
+    def _apply_rnn(self, params, feat, robot_state, vis_obs, rnn_states, episode_dones, rnn_mode):
+        """visual feat -> rnn (state concat before AND after; visuomotor.py:114-130)."""
+        base = self._with_state(feat, robot_state, vis_obs)
+        out = self.rnn.apply(
+            {"params": params["rnn"]}, base, rnn_states=rnn_states,
+            episode_dones=episode_dones, rnn_mode=rnn_mode,
+        )
+        return out  # features, or (features, state) when rnn_mode != "base"
+
+    def _features(self, params, obs, which: str, seq: bool, visual_feature,
+                  rnn_states=None, episode_dones=None, rnn_mode: str = "base",
+                  detach_visual: bool = False):
+        """Shared feature pipeline: visual -> [rnn] -> concat robot state.
+
+        Returns (final_features, post_rnn_feature aka saved_visual_feature,
+        next_rnn_state or None)."""
+        vis_obs, robot_state = split_obs(obs)
         if visual_feature is not None:
-            vis_obs, robot_state = split_obs(obs)
             feat = visual_feature
         else:
-            feat, robot_state, vis_obs = self.encode(params, obs, "actor")
-        if detach_visual and feat is not None:
-            feat = jax.lax.stop_gradient(feat)
+            feat, robot_state, vis_obs = self.encode(params, obs, which, seq)
+            if detach_visual and feat is not None:
+                feat = jax.lax.stop_gradient(feat)
+        next_state = None
+        if self.rnn is not None and visual_feature is None:
+            out = self._apply_rnn(params, feat, robot_state, vis_obs, rnn_states, episode_dones, rnn_mode)
+            if rnn_mode != "base":
+                feat, next_state = out
+            else:
+                feat = out
         x = self._with_state(feat, robot_state, vis_obs)
+        return x, feat, next_state
+
+    def actor_apply(self, params, obs, mode: str = "explore", rng=None, detach_visual: bool = False,
+                    visual_feature=None, seq: bool = False, rnn_states=None, episode_dones=None,
+                    rnn_mode: str = "base"):
+        """Actor forward; with mode="max-entropy" returns (action, neg_logp).
+
+        Returns ((head output, saved_feature) or with rnn_mode!="base"
+        additionally the next rnn state as a third element)."""
+        x, feat, next_state = self._features(
+            params, obs, "actor", seq, visual_feature, rnn_states, episode_dones, rnn_mode, detach_visual
+        )
         rngs = {"sample": rng} if rng is not None else {}
         out = self.actor.apply({"params": params["actor"]}, x, mode=mode, rngs=rngs)
+        if rnn_mode != "base":
+            return out, feat, next_state
         return out, feat
 
-    def _critic_heads(self, critic_params, visual_params_src, obs, actions, visual_feature):
-        vis_obs, robot_state = split_obs(obs)
-        if visual_feature is None:
-            module = self.critic_visual if (self.critic_visual is not None) else self.visual
-            if module is not None:
-                key = "critic_visual" if (self.critic_visual is not None and "critic_visual" in visual_params_src) else "visual"
-                visual_feature = module.apply({"params": visual_params_src[key]}, vis_obs)
-        x = self._with_state(visual_feature, robot_state, vis_obs)
+    def _critic_heads(self, critic_params, visual_params_src, obs, actions, visual_feature,
+                      seq: bool = False, episode_dones=None):
+        x, _, _ = self._features(visual_params_src, obs, "critic", seq, visual_feature,
+                                 episode_dones=episode_dones)
         if self.share_feature and self.num_q > 1 and self.average_grad:
             x = scale_gradient(x, 1.0 / self.num_q)
         if actions is not None and not self.is_discrete:
             x = jnp.concatenate([x, actions], axis=-1)
-        return self.critic.apply({"params": critic_params}, x)  # [B, H, out]
+        return self.critic.apply({"params": critic_params}, x)  # [..., H, out]
 
     def critic_apply(self, params, obs, actions=None, actions_prob=None, visual_feature=None,
-                     detach_value: bool = False):
+                     detach_value: bool = False, seq: bool = False, episode_dones=None):
         """Q-values. Continuous: [B, num_q]. Discrete: gathers/avgs over actions
         (DiscreteCritic semantics, actor_critic.py:137-162)."""
-        q = self._critic_heads(params["critic"], params, obs, actions, visual_feature)
+        q = self._critic_heads(params["critic"], params, obs, actions, visual_feature,
+                               seq=seq, episode_dones=episode_dones)
         if detach_value:
             q = jax.lax.stop_gradient(q)
         if not self.is_discrete:
@@ -249,11 +306,13 @@ class ActorCriticModel:
             return jnp.take_along_axis(q, idx, axis=-1)[..., 0]  # [B, num_q]
         return q  # raw Q-table [B, num_q, num_choices]
 
-    def target_critic_apply(self, params, target_params, obs, actions=None, actions_prob=None):
+    def target_critic_apply(self, params, target_params, obs, actions=None, actions_prob=None,
+                            seq: bool = False, episode_dones=None):
         """Target critic; shared-target backbones read the LIVE visual params."""
         src = dict(params)
         src.update(target_params)  # target-owned subtrees override live ones
-        q = self._critic_heads(target_params["critic"], src, obs, actions, None)
+        q = self._critic_heads(target_params["critic"], src, obs, actions, None,
+                               seq=seq, episode_dones=episode_dones)
         if not self.is_discrete:
             return q[..., 0]
         if actions_prob is not None:

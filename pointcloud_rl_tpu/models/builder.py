@@ -78,6 +78,9 @@ def build_actor_critic(
     average_grad = bool(critic_cfg.pop("average_grad", True))
 
     # ---- actor --------------------------------------------------------
+    actor_nn_cfg = actor_cfg.get("nn_cfg") or {}
+    rnn_cfg = dict(actor_nn_cfg).get("rnn_cfg")
+    rnn = build_all(rnn_cfg) if rnn_cfg else None
     actor_visual_cfg, actor_mlp_cfg = _split_nn_cfg(actor_cfg.get("nn_cfg"))
     head_cfg = _head_cfg_with_bound(actor_cfg.get("head_cfg"), action_space if not is_discrete else None)
     if head_cfg is not None:
@@ -123,6 +126,7 @@ def build_actor_critic(
         num_q=num_q,
         share_feature=share_feature,
         average_grad=average_grad,
+        rnn=rnn,
     )
 
 

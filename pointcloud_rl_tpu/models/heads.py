@@ -14,6 +14,7 @@ from typing import Any, Optional, Sequence, Tuple
 
 import flax.linen as nn
 import jax
+import jax.nn
 import jax.numpy as jnp
 import numpy as np
 
@@ -166,6 +167,52 @@ class GaussianHead(ContinuousHeadBase):
                 ret.append(std * scale)
             elif m == "log_std":
                 ret.append(jnp.log(std * scale))
+            elif m == "dist":
+                ret.append((loc, std * scale))
+            elif m == "entropy":
+                ret.append(normal_entropy(std * scale).sum(-1))
+            else:
+                raise KeyError(f"Unknown head mode part: {m}")
+        return ret[0] if len(ret) == 1 else tuple(ret)
+
+
+@REGRESSION.register_module()
+class SoftplusGaussianHead(ContinuousHeadBase):
+    """PETS-style Gaussian with learned soft log-variance bounds
+    (reference gaussian.py:113-131): log_var is softly clamped between two
+    trainable per-dim bounds via softplus from both sides."""
+
+    predict_std: bool = True
+    init_log_std: float = -0.5
+    log_std_bound: Sequence[float] = (-20.0, 2.0)
+    init_log_var_min: float = -1.0
+    init_log_var_max: float = 0.5
+
+    @nn.compact
+    def __call__(self, feature, mode: str = "explore"):
+        assert self.predict_std and feature.shape[-1] == 2 * self.dim_output
+        mean, log_std = jnp.split(feature, 2, axis=-1)
+        log_std = jnp.clip(log_std, self.log_std_bound[0], self.log_std_bound[1])
+        log_var_min = self.param("log_var_min", lambda k, s: jnp.full(s, self.init_log_var_min), (1, self.dim_output))
+        log_var_max = self.param("log_var_max", lambda k, s: jnp.full(s, self.init_log_var_max), (1, self.dim_output))
+        log_var = 2.0 * log_std
+        log_var = log_var_max - jax.nn.softplus(log_var_max - log_var)
+        log_var = log_var_min + jax.nn.softplus(log_var - log_var_min)
+        std = jnp.exp(log_var / 2.0)
+        _, scale, bias = self._bounds()
+        loc = mean * scale + bias
+        parts = ["rsample-with-neg-logp"] if mode == "max-entropy" else mode.split("_")
+        ret = []
+        for m in parts:
+            if m in ("mean", "eval"):
+                ret.append(self.clamp(loc))
+            elif m in ("explore", "sample"):
+                ret.append(self.clamp(scaled_normal_rsample(self.make_rng("sample"), mean, std, scale, bias)))
+            elif m == "rsample-with-neg-logp":
+                action, log_p = scaled_normal_rsample_with_log_prob(self.make_rng("sample"), mean, std, scale, bias)
+                ret.extend([action, -log_p[..., None]])
+            elif m == "std":
+                ret.append(std * scale)
             elif m == "dist":
                 ret.append((loc, std * scale))
             elif m == "entropy":

@@ -31,13 +31,34 @@ def save_checkpoint(state: Any, work_dir: str, step: int, name: Optional[str] = 
     return path
 
 
-def load_checkpoint(path: str, example_state: Any) -> Any:
-    """Restore a pytree with the structure/dtypes of ``example_state``."""
+def load_checkpoint(path: str, example_state: Any, keys_map: Optional[dict] = None) -> Any:
+    """Restore a pytree with the structure/dtypes of ``example_state``.
+
+    ``keys_map``: optional {regex: replacement} applied to top-level param
+    keys of the restored tree before structural matching (reference
+    --resume-keys-map, checkpoint_utils.py:148-179 key rewriting).
+    """
     import orbax.checkpoint as ocp
 
     ckpt = ocp.StandardCheckpointer()
     target = jax.tree_util.tree_map(np.asarray, jax.device_get(example_state))
-    return ckpt.restore(osp.abspath(path), target)
+    restored = ckpt.restore(osp.abspath(path), target)
+    if keys_map:
+        restored = remap_keys(restored, keys_map)
+    return restored
+
+
+def remap_keys(tree: Any, keys_map: dict) -> Any:
+    """Rename dict keys (recursively) by regex substitution."""
+    if not isinstance(tree, dict):
+        return tree
+    out = {}
+    for k, v in tree.items():
+        nk = k
+        for pat, rep in keys_map.items():
+            nk = re.sub(pat, rep, nk)
+        out[nk] = remap_keys(v, keys_map)
+    return out
 
 
 def find_checkpoint(work_dir: str) -> Tuple[Optional[str], int]:

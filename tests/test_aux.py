@@ -1,0 +1,77 @@
+"""Aux subsystems: SoftplusGaussian head, eval trajectory dump, key remap,
+memory telemetry, minibatch runner."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pointcloud_rl_tpu.models import build_all
+
+
+def test_softplus_gaussian_head():
+    head = build_all(dict(type="SoftplusGaussianHead", dim_output=3, bound=[-np.ones(3), np.ones(3)]))
+    feat = jnp.zeros((4, 6))
+    params = head.init({"params": jax.random.PRNGKey(0), "sample": jax.random.PRNGKey(1)}, feat)
+    a, neg_logp = head.apply(params, feat, mode="max-entropy", rngs={"sample": jax.random.PRNGKey(2)})
+    assert a.shape == (4, 3) and neg_logp.shape == (4, 1)
+    assert "log_var_min" in params["params"] and "log_var_max" in params["params"]
+    mean = head.apply(params, feat, mode="eval")
+    np.testing.assert_allclose(np.asarray(mean), 0, atol=1e-6)
+
+
+def test_eval_trajectory_dump(tmp_path):
+    import h5py
+
+    from pointcloud_rl_tpu.env import Evaluation
+
+    ev = Evaluation(
+        env_cfg=dict(type="gym", env_name="FakeManipulation-v0", obs_mode="pointcloud",
+                     n_points=32, n_raw_points=200, horizon=4),
+        num_procs=1, num=2, save_traj=True, seed=0,
+    )
+    try:
+        pi = lambda obs, mode="eval": np.zeros((1, 8), np.float32)
+        ev.run(pi, num=2, work_dir=str(tmp_path))
+        with h5py.File(str(tmp_path / "trajectory.h5")) as f:
+            assert "traj_0" in f and "traj_1" in f
+            assert f["traj_0"]["actions"].shape == (4, 8)
+            assert f["traj_0"]["obs"]["xyz"].shape == (4, 3, 32)
+            assert "env_states" in f["traj_0"]
+    finally:
+        ev.close()
+
+
+def test_checkpoint_key_remap():
+    from pointcloud_rl_tpu.utils.checkpoint import remap_keys
+
+    tree = {"visual": {"w": 1}, "actor": {"w": 2}}
+    out = remap_keys(tree, {"^visual$": "critic_visual"})
+    assert set(out) == {"critic_visual", "actor"}
+    assert out["critic_visual"]["w"] == 1
+
+
+def test_memory_telemetry():
+    from pointcloud_rl_tpu.utils.process import get_total_memory_mb
+
+    mb = get_total_memory_mb()
+    assert mb > 10  # this process alone is bigger than 10 MB
+
+
+def test_run_with_mini_batch():
+    from pointcloud_rl_tpu.algorithms.base import run_with_mini_batch
+
+    calls = []
+
+    @jax.jit
+    def fn(batch):
+        return {"y": batch["x"] * 2}
+
+    def wrapped(batch):
+        calls.append(batch["x"].shape)
+        return fn(batch)
+
+    data = {"x": np.arange(10, dtype=np.float32)}
+    out = run_with_mini_batch(wrapped, data, batch_size=4)
+    np.testing.assert_array_equal(out["y"], np.arange(10) * 2)
+    assert all(s == (4,) for s in calls)  # tail padded, single compile shape
