@@ -95,7 +95,12 @@ def run(cfg: Config, work_dir: str, seed: int, args) -> None:
     from ..algorithms import build_agent
     from ..env import build_evaluation, build_replay, build_rollout, get_env_info
     from ..loggers import build_exp_logger
-    from ..parallel import setup_data_parallel
+    from ..parallel import init_distributed, is_lead_process, setup_data_parallel
+
+    # multi-host: join the pod runtime when a coordinator is configured
+    # (single-host runs are unaffected)
+    if init_distributed():
+        get_logger("pcrl").info("Joined multi-host jax runtime")
 
     logger = get_logger("pcrl")
     env_cfg = cfg["env_cfg"].to_dict() if hasattr(cfg["env_cfg"], "to_dict") else dict(cfg["env_cfg"])
@@ -132,7 +137,7 @@ def run(cfg: Config, work_dir: str, seed: int, args) -> None:
     agent = build_agent(agent_cfg)
     logger.info(f"Agent: {agent_cfg['type']}, params: {agent.num_params:,}")
 
-    # data-parallel mesh over local devices
+    # data-parallel mesh over (global) devices
     num_devices = args.num_devices or (len(args.gpu_ids) if args.gpu_ids else 1)
     if num_devices > 1:
         setup_data_parallel(agent, num_devices)
@@ -170,6 +175,7 @@ def run(cfg: Config, work_dir: str, seed: int, args) -> None:
             exp_logger=exp_logger,
             resume_steps=resume_steps,
             eval_num=eval_num,
+            is_lead=is_lead_process(),
             **{k: v for k, v in train_cfg.items() if k in (
                 "total_steps", "warm_steps", "n_steps", "n_updates", "n_log",
                 "n_eval", "n_checkpoint", "on_policy",

@@ -99,7 +99,10 @@ class NatureCNN(nn.Module):
 @NETWORK.register_module()
 class DMCEncoder(nn.Module):
     """SAC-AE encoder for DM Control (cnn.py:209-223): 4 conv(32, k3),
-    stride [2,1,1,1], flatten, Linear(out) + LayerNorm, no output activation."""
+    stride [2,1,1,1], flatten, Linear(out) + LayerNorm, no output activation.
+
+    ``conv_init_cfg`` (e.g. delta_orthogonal_init, gain 1.414) overrides the
+    conv kernel init; ``norm_cfg`` (LN2d) adds LayerNorm after each conv."""
 
     in_channels: int
     image_size: Sequence[int]
@@ -108,15 +111,28 @@ class DMCEncoder(nn.Module):
     kernel_size: Sequence[int] = (3, 3, 3, 3)
     stride: Sequence[int] = (2, 1, 1, 1)
     act_cfg: Any = "ReLU"
+    norm_cfg: Optional[Any] = None
+    conv_init_cfg: Optional[Any] = None
 
     @nn.compact
     def __call__(self, obs, **kwargs):
+        from .init import build_init
+
         x = preprocess_images(obs)
         act = get_activation(self.act_cfg)
+        norm_kind, eps = norm_kind_and_eps(self.norm_cfg)
+        conv_init = build_init(dict(self.conv_init_cfg)) if self.conv_init_cfg is not None else None
         in_ch = self.in_channels
         for ch, k, s in zip(self.mlp_spec, self.kernel_size, self.stride):
-            x = _conv(ch, k, s, 0, in_ch)(x)
+            conv = nn.Conv(
+                ch, (k, k), strides=(s, s), padding=[(0, 0), (0, 0)],
+                kernel_init=conv_init or torch_default_kernel_init,
+                bias_init=make_torch_bias_init(in_ch * k * k),
+            )
+            x = conv(x)
             in_ch = ch
+            if norm_kind == "LN":
+                x = nn.LayerNorm(epsilon=eps)(x)
             x = act(x)
         x = x.reshape(x.shape[0], -1)
         x = nn.Dense(self.out_channels, kernel_init=torch_default_kernel_init,
