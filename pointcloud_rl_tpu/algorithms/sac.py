@@ -98,6 +98,18 @@ class SAC(BaseAgent):
         actor_optim_cfg = actor_cfg.pop("optim_cfg", None)
         critic_optim_cfg = critic_cfg.pop("optim_cfg", None)
 
+        # freeze_* flags become optimizer exclusions on BOTH optimizers
+        from ..models.builder import extract_freeze_param_cfg
+
+        freeze_cfg = extract_freeze_param_cfg(actor_cfg.get("nn_cfg"))
+        if freeze_cfg:
+            actor_optim_cfg = dict(actor_optim_cfg or {"type": "Adam", "lr": 3e-4})
+            critic_optim_cfg = dict(critic_optim_cfg or {"type": "Adam", "lr": 3e-4})
+            for ocfg in (actor_optim_cfg, critic_optim_cfg):
+                pc = dict(ocfg.get("param_cfg") or {})
+                pc.update(freeze_cfg)
+                ocfg["param_cfg"] = pc
+
         self.model = build_actor_critic(
             actor_cfg, critic_cfg, env_params, shared_backbone=self.shared_backbone,
             shared_target_backbone=shared_target_backbone,
@@ -162,6 +174,7 @@ class SAC(BaseAgent):
         )
         self._metric_keys: Optional[list] = None
         self._update_jit = jax.jit(self._packed_update, donate_argnums=(0,))
+        self._storage_update_jit = None  # built lazily for DeviceReplayMemory
 
     def _packed_update(self, state, batch):
         """Jit wrapper packing metrics into ONE vector: a remote-device fetch
@@ -218,10 +231,42 @@ class SAC(BaseAgent):
                 batch[key] = arr[:, None]
         return batch
 
+    def _build_storage_update(self):
+        """Fused sample+update over an HBM-resident replay: ONE device
+        program per gradient step (sampling gather inlined into the update),
+        which matters on remote/tunneled devices where each program dispatch
+        is a round trip."""
+        batch_size = self.batch_size
+
+        @partial(jax.jit, donate_argnums=(0,))
+        def step(state, storage, size, key):
+            idx = jax.random.randint(key, (batch_size,), 0, size)
+            batch = jax.tree_util.tree_map(lambda s: jnp.take(s, idx, axis=0), storage)
+            if self.use_episode_dones:
+                batch["dones"] = batch["episode_dones"]
+            return self._packed_update(state, batch)
+
+        return step
+
     def update_parameters_lazy(self, memory, updates: int):
         """One gradient step; returns the packed metric vector WITHOUT any
         host sync, so callers can pipeline updates with host work (env
         stepping) and fetch metrics only at log time."""
+        from ..env.device_replay import DeviceReplayMemory
+
+        if isinstance(memory, DeviceReplayMemory) and not self.model.is_recurrent and self.obs_rms is None:
+            if self._storage_update_jit is None:
+                self._storage_update_jit = self._build_storage_update()
+            memory._key, sub = jax.random.split(memory._key)
+            self.train_state, metric_vec = self._storage_update_jit(
+                self.train_state, memory.storage, jnp.asarray(len(memory), jnp.int32), sub
+            )
+            self._inflight = getattr(self, "_inflight", 0) + 1
+            if self._inflight >= 16:
+                jax.block_until_ready(metric_vec)
+                self._inflight = 0
+            return metric_vec
+
         if self.model.is_recurrent:
             horizon = getattr(memory.sampling, "horizon", 8)
             sampled = memory.sample_windows(self.batch_size, horizon)

@@ -56,6 +56,19 @@ def _head_cfg_with_bound(head_cfg: Optional[dict], action_space) -> Optional[dic
     return head_cfg
 
 
+def extract_freeze_param_cfg(nn_cfg: Optional[dict]) -> dict:
+    """Visuomotor freeze flags -> optimizer exclusion regexes
+    (reference visuomotor.py:42-51 freeze_params; functional freezing =
+    excluding the subtree from every optimizer)."""
+    out = {}
+    if nn_cfg:
+        if nn_cfg.get("freeze_visual_nn"):
+            out["(.*?)visual_nn(.*?)"] = None
+        if nn_cfg.get("freeze_mlp"):
+            out["^actor(.*?)"] = None
+    return out
+
+
 def build_actor_critic(
     actor_cfg: dict,
     critic_cfg: dict,

@@ -1,0 +1,99 @@
+"""Offline analysis visualizations (reference pyrl/utils/visualization role).
+
+Matplotlib-based (headless-safe): point-cloud scatter renders, learning
+curves from a work dir's metrics.csv, and simple value colormaps.  These are
+analysis helpers, not part of the training hot path.
+"""
+
+from __future__ import annotations
+
+import os.path as osp
+from typing import List, Optional, Sequence
+
+import numpy as np
+
+
+def _plt():
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    return plt
+
+
+def plot_pointcloud(
+    xyz: np.ndarray,
+    rgb: Optional[np.ndarray] = None,
+    save_path: Optional[str] = None,
+    elev: float = 30.0,
+    azim: float = 45.0,
+    point_size: float = 2.0,
+):
+    """Render a point cloud to an image. xyz: [N, 3] or channel-first [3, N]."""
+    plt = _plt()
+    xyz = np.asarray(xyz)
+    if xyz.shape[0] == 3 and xyz.ndim == 2 and xyz.shape[1] != 3:
+        xyz = xyz.T
+    colors = None
+    if rgb is not None:
+        rgb = np.asarray(rgb)
+        if rgb.shape[0] == 3 and rgb.ndim == 2 and rgb.shape[1] != 3:
+            rgb = rgb.T
+        colors = rgb / 255.0 if rgb.dtype == np.uint8 else np.clip(rgb, 0, 1)
+    fig = plt.figure(figsize=(6, 6))
+    ax = fig.add_subplot(111, projection="3d")
+    ax.scatter(xyz[:, 0], xyz[:, 1], xyz[:, 2], c=colors, s=point_size)
+    ax.view_init(elev=elev, azim=azim)
+    ax.set_xlabel("x"), ax.set_ylabel("y"), ax.set_zlabel("z")
+    if save_path:
+        fig.savefig(save_path, dpi=120, bbox_inches="tight")
+        plt.close(fig)
+        return save_path
+    return fig
+
+
+def plot_learning_curves(
+    metrics_csv: str,
+    keys: Optional[Sequence[str]] = None,
+    save_path: Optional[str] = None,
+    smooth: int = 1,
+):
+    """Plot train curves from a run's logs/metrics.csv (CSV mirror)."""
+    import csv
+
+    plt = _plt()
+    with open(metrics_csv) as f:
+        rows = list(csv.DictReader(f))
+    steps = np.asarray([float(r["step"]) for r in rows])
+    if keys is None:
+        keys = [k for k in rows[0] if k != "step" and any(s in k for s in ("rewards_mean", "critic_loss", "actor_loss"))]
+    fig, axes = plt.subplots(1, max(len(keys), 1), figsize=(5 * max(len(keys), 1), 4), squeeze=False)
+    for ax, key in zip(axes[0], keys):
+        vals = np.asarray([float(r[key]) if r.get(key) else np.nan for r in rows])
+        mask = ~np.isnan(vals)
+        v, s = vals[mask], steps[mask]
+        if smooth > 1 and len(v) >= smooth:
+            kernel = np.ones(smooth) / smooth
+            v = np.convolve(v, kernel, mode="valid")
+            s = s[smooth - 1:]
+        ax.plot(s, v)
+        ax.set_title(key)
+        ax.set_xlabel("env steps")
+        ax.grid(alpha=0.3)
+    fig.tight_layout()
+    if save_path:
+        fig.savefig(save_path, dpi=120)
+        plt.close(fig)
+        return save_path
+    return fig
+
+
+def values_to_colors(values: np.ndarray, cmap: str = "jet") -> np.ndarray:
+    """Scalar array -> [N, 3] float colors (reference 2-D jet-colormap logging)."""
+    import matplotlib.cm as cm
+
+    values = np.asarray(values, np.float64)
+    lo, hi = values.min(), values.max()
+    norm = (values - lo) / max(hi - lo, 1e-9)
+    return np.asarray(cm.get_cmap(cmap)(norm))[..., :3]
