@@ -49,6 +49,8 @@ class VoxelCNN(nn.Module):
     stride: int = 2
     norm_cfg: Optional[Any] = None
     act_cfg: Any = "ReLU"
+    impl: str = "dense"  # "dense" grid conv3d | "sparse" gather-based conv
+    sparse_capacity: Optional[int] = None  # voxel slots (default: point count)
 
     @nn.compact
     def __call__(self, obs, **kwargs):
@@ -58,6 +60,9 @@ class VoxelCNN(nn.Module):
         stem_spec = [self.in_channels] + list(self.stem_channels)
         x = MLP(stem_spec, norm_cfg={"type": "LN", "eps": 1e-6}, act_cfg=self.act_cfg,
                 inactivated_output=False, ignore_first_ln=True)(feature)
+
+        if self.impl == "sparse":
+            return self._sparse_forward(xyz, x)
 
         grid, occ = voxelize_dense(xyz, x, self.voxel_size, self.grid_size)
         # [B, Gx, Gy, Gz, C]; occupancy mask tracks "sparse" sites.
@@ -82,6 +87,36 @@ class VoxelCNN(nn.Module):
         occ_flat = occ_f.reshape(B, -1, 1) > 0
         pooled = masked_max(flat, occ_flat, axis=-2)
 
+        if self.out_channels is not None:
+            pooled = nn.Dense(self.out_channels, kernel_init=torch_default_kernel_init,
+                              bias_init=make_torch_bias_init(pooled.shape[-1]))(pooled)
+            pooled = nn.LayerNorm()(pooled)
+        return pooled
+
+    def _sparse_forward(self, xyz, x):
+        """Gather-based sparse path: voxelize to a static-capacity occupied
+        table, then strided sparse convs (ops/sparse_conv.py) — the direct
+        analogue of torchsparse's hash-query convolution."""
+        from ..ops.sparse_conv import sparse_conv_layer
+        from ..ops.voxelize import voxelize_sparse
+
+        capacity = self.sparse_capacity or xyz.shape[-2]
+        feat, coords, valid = voxelize_sparse(xyz, x, self.voxel_size, capacity)
+        k3 = self.kernel_size**3
+        in_ch = feat.shape[-1]
+        for li, ch in enumerate(self.mlp_spec):
+            w = self.param(
+                f"sparse_conv{li}_kernel",
+                torch_default_kernel_init,
+                (k3, in_ch, ch),
+            )
+            b = self.param(f"sparse_conv{li}_bias", make_torch_bias_init(in_ch * k3), (ch,))
+            feat, coords, valid = sparse_conv_layer(feat, coords, valid, w, b,
+                                                    stride=self.stride, kernel_size=self.kernel_size)
+            feat = nn.LayerNorm(epsilon=1e-6)(feat) * valid[..., None]
+            feat = nn.relu(feat)
+            in_ch = ch
+        pooled = masked_max(feat, valid[..., None], axis=-2)
         if self.out_channels is not None:
             pooled = nn.Dense(self.out_channels, kernel_init=torch_default_kernel_init,
                               bias_init=make_torch_bias_init(pooled.shape[-1]))(pooled)

@@ -109,17 +109,19 @@ def voxelize_sparse(
     M = int(capacity)
     coords = compute_voxel_coords(xyz, voxel_size, origin)
     # Single scalar key per point; grid coords from min-shift are >= 0 and
-    # bounded by cloud extent; 21 bits per axis is ample.
-    key = (coords[..., 0].astype(jnp.int64) << 42) | (coords[..., 1].astype(jnp.int64) << 21) | coords[..., 2].astype(jnp.int64)
+    # bounded by cloud extent; 10 bits per axis (1024 cells) is ample for
+    # point-cloud workspaces and keeps keys int32 (no x64 requirement).
+    c = jnp.clip(coords, 0, 1022)
+    key = (c[..., 0] << 20) | (c[..., 1] << 10) | c[..., 2]
     if valid_mask is not None:
-        key = jnp.where(valid_mask, key, jnp.iinfo(jnp.int64).max)
+        key = jnp.where(valid_mask, key, jnp.iinfo(jnp.int32).max)
 
     def _unique(key_b, coords_b, feat_b):
         order = jnp.argsort(key_b)
         ks = key_b[order]
         cs = coords_b[order]
         fs = feat_b[order]
-        valid = ks != jnp.iinfo(jnp.int64).max
+        valid = ks != jnp.iinfo(jnp.int32).max
         is_start = jnp.concatenate([jnp.ones((1,), bool), ks[1:] != ks[:-1]]) & valid
         rank = jnp.cumsum(is_start) - 1  # segment index per sorted point
         rank = jnp.where(valid, jnp.minimum(rank, M - 1), M)  # overflow & invalid -> dropped row M
