@@ -321,6 +321,54 @@ class AddOriginBall(BaseAugmentation):
 
 # ------------------------------------------------------------------ images
 @AUGMENTATIONS.register_module()
+class ToChannelFirst(BaseAugmentation):
+    """[..., H, W, C] -> [..., C, H, W] for every leaf (image_aug.py:123)."""
+
+    def __init__(self, main_key=None, req_keys=None):
+        super().__init__(main_key, req_keys)
+
+    def __call__(self, rng, data):
+        return jax.tree_util.tree_map(lambda x: jnp.moveaxis(x, -1, -3), _shallow_copy(data))
+
+
+@AUGMENTATIONS.register_module()
+class ToChannelLast(BaseAugmentation):
+    """[..., C, H, W] -> [..., H, W, C] for every leaf (image_aug.py:147)."""
+
+    def __init__(self, main_key=None, req_keys=None):
+        super().__init__(main_key, req_keys)
+
+    def __call__(self, rng, data):
+        return jax.tree_util.tree_map(lambda x: jnp.moveaxis(x, -3, -1), _shallow_copy(data))
+
+
+@AUGMENTATIONS.register_module()
+class RandomChannelSwap(BaseAugmentation):
+    """Randomly permute the per-image rgb channel order with probability
+    ``prob`` (image_aug.py torch_imsign-based channel swaps): one draw per
+    batch element, optionally independent per stacked frame."""
+
+    def __init__(self, main_key="rgb", req_keys=("rgb",), prob=0.5, independent=False):
+        super().__init__(main_key, req_keys)
+        self.prob = prob
+        self.independent = independent
+
+    def apply_single(self, data, key, info, rng):
+        # data: [B, 3*K, H, W]
+        k_sign, k_perm = jax.random.split(rng)
+        B = data.shape[0]
+        num_images = data.shape[-3] // 3
+        x = data.reshape(B, num_images, 3, *data.shape[-2:])
+        n_draw = num_images if self.independent else 1
+        do = jax.random.uniform(k_sign, (B, n_draw)) <= self.prob
+        do = jnp.repeat(do, num_images // n_draw, axis=1)  # [B, num_images]
+        perm = jax.random.permutation(k_perm, 3)
+        swapped = x[:, :, perm]
+        out = jnp.where(do[:, :, None, None, None], swapped, x)
+        return out.reshape(data.shape)
+
+
+@AUGMENTATIONS.register_module()
 class RandomCrop(BaseAugmentation):
     """Pad-and-random-crop (DrQ shift aug), per-batch-element offsets
     (image_aug.py:12-92)."""
