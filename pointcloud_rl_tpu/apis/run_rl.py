@@ -45,6 +45,10 @@ def parse_args(args=None):
                         help="data-parallel device count (mesh axis size)")
     parser.add_argument("--gpu-ids", nargs="+", type=int, default=None, help="device indices (parity alias)")
     parser.add_argument("--debug", action="store_true", help="verbose numerics (jax_debug_nans)")
+    parser.add_argument("--deterministic", action="store_true",
+                        help="disable nondeterministic XLA optimizations (slower, bitwise-reproducible)")
+    parser.add_argument("--reproducible", action="store_true",
+                        help="require a clean git tree and record the commit (reference collect_env.py:139)")
     parser.add_argument("--clean-up", action="store_true", help="remove the work dir after finishing")
     return parser.parse_args(args)
 
@@ -83,6 +87,16 @@ def main(args=None) -> None:
         import jax
 
         jax.config.update("jax_debug_nans", True)
+    if args.deterministic:
+        os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "") + " --xla_gpu_deterministic_ops=true").strip()
+        import jax
+
+        jax.config.update("jax_default_matmul_precision", "highest")
+    if args.reproducible:
+        from ..utils.collect_env import check_reproducibility, collect_env_info
+
+        check_reproducibility(strict=True)
+        logger.info(f"Env report: {collect_env_info()}")
 
     run(cfg, work_dir, seed, args)
     if args.clean_up:
