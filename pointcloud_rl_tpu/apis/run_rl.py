@@ -50,6 +50,8 @@ def parse_args(args=None):
     parser.add_argument("--reproducible", action="store_true",
                         help="require a clean git tree and record the commit (reference collect_env.py:139)")
     parser.add_argument("--clean-up", action="store_true", help="remove the work dir after finishing")
+    parser.add_argument("--profile", type=int, default=0, metavar="N",
+                        help="capture a jax.profiler trace of the first N training steps into <work_dir>/profile")
     return parser.parse_args(args)
 
 
@@ -190,6 +192,7 @@ def run(cfg: Config, work_dir: str, seed: int, args) -> None:
             resume_steps=resume_steps,
             eval_num=eval_num,
             is_lead=is_lead_process(),
+            profile_steps=getattr(args, "profile", 0),
             **{k: v for k, v in train_cfg.items() if k in (
                 "total_steps", "warm_steps", "n_steps", "n_updates", "n_log",
                 "n_eval", "n_checkpoint", "on_policy",

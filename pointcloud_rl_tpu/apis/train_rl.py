@@ -44,8 +44,18 @@ def train_rl(
     eval_num: Optional[int] = None,
     exp_logger=None,
     is_lead: bool = True,
+    profile_steps: int = 0,
 ) -> None:
     logger = get_logger("pcrl")
+    profiler_active = False
+    if profile_steps > 0:
+        # Tracing subsystem (SURVEY §5.1): device + host trace of the first
+        # N steps, viewable in TensorBoard's profile plugin / Perfetto.
+        import jax
+
+        jax.profiler.start_trace(osp.join(work_dir, "profile"))
+        profiler_active = True
+        profile_until = resume_steps + warm_steps + profile_steps
     log_trigger = EveryNSteps(n_log)
     eval_trigger = EveryNSteps(n_eval if n_eval and n_eval > 0 else None)
     ckpt_trigger = EveryNSteps(n_checkpoint if n_checkpoint and n_checkpoint > 0 else None)
@@ -114,6 +124,13 @@ def train_rl(
                     metric_counts[k] += 1
         time_sums["update_time"] += time.monotonic() - update_t0
 
+        if profiler_active and steps >= profile_until:
+            import jax
+
+            jax.profiler.stop_trace()
+            profiler_active = False
+            logger.info(f"Profiler trace written to {osp.join(work_dir, 'profile')}")
+
         # ---- logging (train_rl.py:315-371) ---------------------------------
         if log_trigger.check(steps) and is_lead:
             if lazy_vec_sum is not None:
@@ -172,6 +189,10 @@ def train_rl(
             path = save_checkpoint(agent.state_dict(), work_dir, std_step)
             logger.info(f"Saved checkpoint at step {std_step}: {path}")
 
+    if profiler_active:
+        import jax
+
+        jax.profiler.stop_trace()
     if is_lead:
         path = save_checkpoint(agent.state_dict(), work_dir, steps, name="model_final")
         logger.info(f"Training finished at {steps} steps; final checkpoint: {path}")
