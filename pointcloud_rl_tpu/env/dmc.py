@@ -66,6 +66,7 @@ class DMCEnv(Env):
         z_to_world: bool = True,
         fix_base_z: Optional[float] = None,
         use_native: bool = True,
+        fast_render: bool = True,
     ):
         assert obs_mode in ("state", "rgb", "rgbd", "depth", "pointcloud", "xyz-img")
         self.env = env
@@ -82,6 +83,12 @@ class DMCEnv(Env):
         from ..native import available as native_available
 
         self.use_native = bool(use_native) and native_available()
+        # fast_render disables shadow/reflection/skybox passes — fewer
+        # software-GL passes and no shadow-shader compilation on cold
+        # caches. Geometry (depth/xyz) is identical; rgb loses shadow
+        # shading relative to the reference's default renderer. Set
+        # fast_render=False for exact visual parity.
+        self.fast_render = bool(fast_render)
 
         spec = env.action_spec()
         self.min_action = np.float32(spec.minimum)
@@ -123,7 +130,9 @@ class DMCEnv(Env):
     def _render(self, with_depth: bool):
         w, h = int(self.image_size[0]), int(self.image_size[1])
         if not with_depth:
-            rgb = self.physics.render(height=h, width=w, camera_id=self.camera_id)
+            overrides = {"shadow": False, "reflection": False, "skybox": False} if self.fast_render else None
+            rgb = self.physics.render(height=h, width=w, camera_id=self.camera_id,
+                                      render_flag_overrides=overrides)
             return rgb, None, None
         # Single-pass rgb+depth: mjr_readPixels fills BOTH buffers from one
         # mjr_render.  dm_control's Camera.render does a full scene render
@@ -139,6 +148,10 @@ class DMCEnv(Env):
         cam = getattr(self, "_cached_camera", None)
         if cam is None or cam._physics is not self.physics:
             cam = Camera(self.physics, height=h, width=w, camera_id=self.camera_id)
+            if self.fast_render:
+                for flag in (mujoco.mjtRndFlag.mjRND_SHADOW, mujoco.mjtRndFlag.mjRND_REFLECTION,
+                             mujoco.mjtRndFlag.mjRND_SKYBOX):
+                    cam._scene.flags[flag] = 0
             self._cached_camera = cam
         cam.update()
         ctx_mujoco = self.physics.contexts.mujoco
