@@ -268,6 +268,10 @@ class SAC(BaseAgent):
             return metric_vec
 
         if self.model.is_recurrent:
+            assert hasattr(memory, "sample_windows"), (
+                "Recurrent agents need T-step window sampling: use the host "
+                "ReplayMemory with sampling_cfg type TStepTransition"
+            )
             horizon = getattr(memory.sampling, "horizon", 8)
             sampled = memory.sample_windows(self.batch_size, horizon)
         else:

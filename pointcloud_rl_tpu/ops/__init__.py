@@ -1,4 +1,17 @@
+from .augment import AUGMENTATIONS, DataAugmentations, build_data_augmentations
 from .masked import masked_average, masked_max
+from .pointnet_fused import fused_pointnet_body
+from .sparse_conv import sparse_conv_layer
 from .voxelize import voxelize_dense, voxelize_sparse
 
-__all__ = ["masked_average", "masked_max", "voxelize_dense", "voxelize_sparse"]
+__all__ = [
+    "AUGMENTATIONS",
+    "DataAugmentations",
+    "build_data_augmentations",
+    "masked_average",
+    "masked_max",
+    "fused_pointnet_body",
+    "sparse_conv_layer",
+    "voxelize_dense",
+    "voxelize_sparse",
+]
