@@ -1,0 +1,121 @@
+"""Augmentation kernel tests: transform sharing across keys, rotation
+geometry, velocity-key semantics, crop shapes/bounds, color jitter ranges."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pointcloud_rl_tpu.ops.augment import build_data_augmentations, rot_matrix_about_axis
+
+
+def test_rot_matrix_about_axis():
+    angle = jnp.asarray([np.pi / 2])
+    Rz = np.asarray(rot_matrix_about_axis(angle, 2))[0]
+    np.testing.assert_allclose(Rz @ [1, 0, 0], [0, 1, 0], atol=1e-6)
+    Rx = np.asarray(rot_matrix_about_axis(angle, 0))[0]
+    np.testing.assert_allclose(Rx @ [0, 1, 0], [0, 0, 1], atol=1e-6)
+
+
+def test_global_rot_scale_trans_geometry():
+    aug = build_data_augmentations([dict(
+        type="GlobalRotScaleTrans", main_key="xyz", req_keys=["xyz"],
+        rot_range=[-0.8, 0.8], scale_ratio_range=None, translation_range=None,
+    )])
+    rs = np.random.RandomState(0)
+    xyz = jnp.asarray(rs.randn(4, 3, 32), jnp.float32)
+    out = aug(jax.random.PRNGKey(0), {"xyz": xyz})["xyz"]
+    # pure rotation about z preserves norms and the z coordinate
+    np.testing.assert_allclose(
+        np.linalg.norm(np.asarray(out), axis=1), np.linalg.norm(np.asarray(xyz), axis=1), rtol=1e-5
+    )
+    np.testing.assert_allclose(np.asarray(out)[:, 2], np.asarray(xyz)[:, 2], atol=1e-6)
+    # different batch elements get different rotations
+    d0 = np.abs(np.asarray(out)[0] - np.asarray(xyz)[0]).max()
+    assert d0 > 1e-4
+
+
+def test_global_trans_shares_transform_and_skips_vel():
+    aug = build_data_augmentations([dict(
+        type="GlobalRotScaleTrans", main_key="xyz",
+        req_keys=["xyz", "ee_pos", "ee_vel"],
+        rot_range=None, scale_ratio_range=None,
+        translation_range=[0.5, 0.5, 0.5], shift_height=True,
+    )])
+    rs = np.random.RandomState(1)
+    data = {
+        "xyz": jnp.asarray(rs.randn(3, 3, 16), jnp.float32),
+        "ee_pos": jnp.asarray(rs.randn(3, 3), jnp.float32),
+        "ee_vel": jnp.asarray(rs.randn(3, 3), jnp.float32),
+    }
+    out = aug(jax.random.PRNGKey(3), data)
+    shift_pts = np.asarray(out["xyz"] - data["xyz"])  # [B, 3, N]
+    shift_pos = np.asarray(out["ee_pos"] - data["ee_pos"])  # [B, 3]
+    # same per-batch translation applied to every point and to the position key
+    np.testing.assert_allclose(shift_pts, np.broadcast_to(shift_pos[..., None], shift_pts.shape), atol=1e-5)
+    # velocity keys rotate but never translate (identity rotation here)
+    np.testing.assert_allclose(np.asarray(out["ee_vel"]), np.asarray(data["ee_vel"]), atol=1e-6)
+    assert np.abs(shift_pos).max() > 1e-3
+
+
+def test_random_downsample_fixed_and_random():
+    rs = np.random.RandomState(2)
+    data = {"xyz": jnp.asarray(rs.randn(2, 3, 40), jnp.float32),
+            "rgb": jnp.asarray(rs.randint(0, 255, (2, 3, 40)), jnp.uint8)}
+    aug = build_data_augmentations([dict(type="RandomDownSample", main_key="xyz",
+                                         req_keys=["xyz", "rgb"], drop_ratio=0.25)])
+    out = aug(jax.random.PRNGKey(0), data)
+    assert out["xyz"].shape == (2, 3, 30) and out["rgb"].shape == (2, 3, 30)
+    # fixed_ratio=False keeps N via duplicate padding (static shapes)
+    aug = build_data_augmentations([dict(type="RandomDownSample", main_key="xyz",
+                                         req_keys=["xyz", "rgb"], drop_ratio=0.25, fixed_ratio=False)])
+    out = aug(jax.random.PRNGKey(1), data)
+    assert out["xyz"].shape == (2, 3, 40)
+    # duplicates exist or not depending on draw, but the point SET is a subset
+    orig = set(map(tuple, np.asarray(data["xyz"][0]).T.round(5)))
+    new = set(map(tuple, np.asarray(out["xyz"][0]).T.round(5)))
+    assert new.issubset(orig)
+
+
+def test_random_crop_shapes_and_content():
+    rs = np.random.RandomState(3)
+    img = jnp.asarray(rs.randint(0, 255, (4, 9, 84, 84)), jnp.uint8)
+    aug = build_data_augmentations([dict(type="RandomCrop", main_key="rgb", req_keys=["rgb"],
+                                         size=[84, 84], padding=4, padding_mode="edge")])
+    out = aug(jax.random.PRNGKey(0), {"rgb": img})["rgb"]
+    assert out.shape == (4, 9, 84, 84) and out.dtype == jnp.uint8
+    # at least one batch element differs from identity (shifted)
+    assert any(not np.array_equal(np.asarray(out[i]), np.asarray(img[i])) for i in range(4))
+
+
+def test_color_jitter_range_and_dtype():
+    rs = np.random.RandomState(4)
+    rgb = jnp.asarray(rs.randint(0, 255, (2, 3, 64)), jnp.uint8)
+    aug = build_data_augmentations([dict(type="ColorJitterPoints", main_key="rgb", req_keys=["rgb"],
+                                         brightness=0.4, contrast=0.4, saturation=0.4, hue=0.5)])
+    out = aug(jax.random.PRNGKey(5), {"rgb": rgb})["rgb"]
+    assert out.dtype == jnp.uint8 and out.shape == rgb.shape
+    assert not np.array_equal(np.asarray(out), np.asarray(rgb))
+
+
+def test_jitter_bounds():
+    xyz = jnp.zeros((2, 3, 16), jnp.float32)
+    aug = build_data_augmentations([dict(type="RandomJitterPoints", main_key="xyz",
+                                         req_keys=["xyz"], jitter_range=[-0.01, 0.01])])
+    out = aug(jax.random.PRNGKey(0), {"xyz": xyz})["xyz"]
+    assert float(jnp.abs(out).max()) <= 0.01
+    assert float(jnp.abs(out).max()) > 0
+
+
+def test_add_origin_ball():
+    rs = np.random.RandomState(5)
+    data = {"xyz": jnp.asarray(rs.randn(2, 3, 20) + 3.0, jnp.float32),
+            "rgb": jnp.asarray(rs.randint(0, 255, (2, 3, 20)), jnp.uint8),
+            "seg": jnp.ones((2, 2, 20), jnp.float32)}
+    aug = build_data_augmentations([dict(type="AddOriginBall", n_pts=10, noise_std=0.02)])
+    out = aug(jax.random.PRNGKey(0), data)
+    assert out["xyz"].shape == (2, 3, 30)
+    assert out["seg"].shape == (2, 2, 30)
+    # appended points cluster at the origin, with zero seg/rgb
+    assert float(jnp.abs(out["xyz"][:, :, 20:]).max()) < 0.2
+    assert float(out["seg"][:, :, 20:].sum()) == 0
