@@ -1,6 +1,7 @@
 from .augment import AUGMENTATIONS, DataAugmentations, build_data_augmentations
 from .masked import masked_average, masked_max
 from .pointnet_fused import fused_pointnet_body
+from .sampling import seg_balanced_downsample, uniform_downsample
 from .sparse_conv import sparse_conv_layer
 from .voxelize import voxelize_dense, voxelize_sparse
 
@@ -11,6 +12,8 @@ __all__ = [
     "masked_average",
     "masked_max",
     "fused_pointnet_body",
+    "seg_balanced_downsample",
+    "uniform_downsample",
     "sparse_conv_layer",
     "voxelize_dense",
     "voxelize_sparse",
