@@ -227,6 +227,34 @@ class FrameStackWrapper(Wrapper):
         return self.observation(), reward, done, info
 
 
+class MuJoCoVisualWrapper(Wrapper):
+    """Expose a state-based mujoco env as rgb observations with action
+    repeat (reference wrappers.py:274 MuJoCoVisual)."""
+
+    def __init__(self, env: Env, img_size=(84, 84), action_repeat: int = 2):
+        super().__init__(env)
+        self.img_size = tuple(img_size)
+        self.action_repeat = int(action_repeat)
+        self.obs_mode = "rgb"
+
+    def _get_obs(self):
+        rgb = self.env.render("rgb_array", width=self.img_size[0], height=self.img_size[1])
+        return {"rgb": np.ascontiguousarray(np.asarray(rgb).transpose(2, 0, 1))}
+
+    def reset(self, **kwargs):
+        self.env.reset(**kwargs)
+        return self._get_obs()
+
+    def step(self, action):
+        reward, done, info = 0.0, False, {}
+        for _ in range(self.action_repeat):
+            _, r, done, info = self.env.step(action)
+            reward += r
+            if done:
+                break
+        return self._get_obs(), reward, done, info
+
+
 class FixedInitWrapper(Wrapper):
     """Reset with a fixed state (reference wrappers.py:204)."""
 

@@ -85,7 +85,22 @@ def make_gym_env(
     return env
 
 
+def _register_wrappers() -> None:
+    """Populate the WRAPPERS registry (idempotent; avoids import cycles)."""
+    if "FrameStackWrapper" in WRAPPERS:
+        return
+    from .api import ExtendedEnv, FixedInitWrapper, FrameStackWrapper, MuJoCoVisualWrapper, TimeLimit
+
+    WRAPPERS.register_module(module=FrameStackWrapper)
+    WRAPPERS.register_module(module=FixedInitWrapper)
+    WRAPPERS.register_module(module=TimeLimit)
+    WRAPPERS.register_module(module=ExtendedEnv)
+    WRAPPERS.register_module(module=MuJoCoVisualWrapper)
+    WRAPPERS.register_module(name="MuJoCoVisual", module=MuJoCoVisualWrapper)
+
+
 def build_env(env_cfg: dict) -> Env:
+    _register_wrappers()
     cfg = dict(env_cfg)
     cfg.setdefault("type", "gym")
     return build_from_cfg(cfg, ENVS)
