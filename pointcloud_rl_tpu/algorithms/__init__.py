@@ -11,5 +11,6 @@ def build_agent(cfg, default_args=None):
 
 from .sac import SAC  # noqa: E402,F401
 from .drq import DrQ  # noqa: E402,F401
+from .ddpg import DDPG  # noqa: E402,F401
 
-__all__ = ["MFRL", "build_agent", "SAC", "DrQ"]
+__all__ = ["MFRL", "build_agent", "SAC", "DrQ", "DDPG"]

@@ -272,3 +272,26 @@ def test_sac_discrete():
     assert "sac/q_match_rate" in m
     a = agent.forward(data["obs"][:3], mode="eval")
     assert a.shape == (3, 1) and a.dtype in (np.int32, np.int64)
+
+
+def test_ddpg_learns_bandit():
+    cfg = _state_agent_cfg()
+    cfg["type"] = "DDPG"
+    cfg.pop("alpha"); cfg.pop("automatic_alpha_tuning")
+    cfg["actor_cfg"]["head_cfg"] = dict(type="TanhHead")
+    cfg["actor_cfg"]["nn_cfg"]["mlp_spec"] = [3, 64, 2]
+    agent = build_agent(cfg)
+    data = _state_data(n=2048, seed=1)
+    mem = FakeMemory(data, seed=2)
+    m = agent.update_parameters(mem, 0)
+    assert "ddpg/critic_loss" in m and np.isfinite(m["ddpg/critic_loss"])
+    for i in range(1, 300):
+        agent.update_parameters(mem, i)
+    obs = data["obs"][:256]
+    actions = agent.forward(obs, mode="eval")
+    target = np.tanh(obs[:, :2])
+    mse = float(np.mean((actions - target) ** 2))
+    assert mse < 0.05, f"DDPG failed to learn the bandit: action mse {mse}"
+    # exploration noise perturbs actions
+    a_explore = agent.forward(obs, mode="explore")
+    assert not np.allclose(actions, a_explore)
