@@ -112,3 +112,28 @@ def test_sac_pre_process_augmentation():
     agent = build_agent(cfg)
     m = agent.update_parameters(FakeMemory(_pcd_data()), 0)
     assert np.isfinite(m["sac/critic_loss"])
+
+
+def test_flops_counter():
+    import jax.numpy as jnp
+
+    from pointcloud_rl_tpu.models import build_all
+    from pointcloud_rl_tpu.utils.flops import estimate_flops, model_report
+
+    # matmul flops are exactly 2*M*N*K
+    f = lambda a, b: a @ b
+    flops = estimate_flops(f, jnp.zeros((64, 128)), jnp.zeros((128, 32)))
+    assert abs(flops - 2 * 64 * 128 * 32) / flops < 0.01
+
+    pn = build_all(dict(type="PointNet", feat_dim=6, mlp_spec=[16, 32], out_channels=16,
+                        feature_transform=[], ignore_first_ln=True))
+    obs = {"xyz": jnp.zeros((2, 3, 64)), "rgb": jnp.zeros((2, 3, 64), jnp.uint8)}
+    report = model_report(pn, obs)
+    assert report["params"] > 1000
+    assert report["flops"] is None or report["flops"] > 1e5
+
+
+def test_graft_entry_dryrun():
+    import __graft_entry__ as g
+
+    g.dryrun_multichip(8)  # conftest already pinned the 8-device CPU mesh
