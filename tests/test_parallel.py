@@ -85,3 +85,28 @@ def test_device_replay_trains_sac():
     metrics = agent.reduce_metric_vecs(vec, 2)
     assert np.isfinite(metrics["sac/critic_loss"])
     assert metrics["sac/grad_steps"] == 2
+
+
+@pytest.mark.slow
+def test_cli_data_parallel_training(tmp_path):
+    """run_rl --num-devices 2 trains end-to-end on the CPU mesh."""
+    from pointcloud_rl_tpu.apis.run_rl import main
+
+    main([
+        "configs/mfrl/sac/dm_control/pn_motivating.py",
+        "--work-dir", str(tmp_path),
+        "--seed", "0",
+        "--num-devices", "2",
+        "--cfg-options",
+        "agent_cfg.batch_size=32",
+        "agent_cfg.actor_cfg.nn_cfg.visual_nn_cfg.mlp_spec=[16,16,32]",
+        "agent_cfg.actor_cfg.nn_cfg.visual_nn_cfg.out_channels=16",
+        "agent_cfg.actor_cfg.nn_cfg.mlp_cfg.mlp_spec=[16,32,'action_shape*2']",
+        "agent_cfg.critic_cfg.nn_cfg.mlp_cfg.mlp_spec=['16+action_shape',32,1]",
+        "train_cfg.total_steps=30", "train_cfg.warm_steps=10",
+        "train_cfg.n_log=10", "train_cfg.n_checkpoint=-1", "train_cfg.n_eval=-1",
+        "eval_cfg.save_video=False",
+    ])
+    import os
+
+    assert os.path.exists(os.path.join(str(tmp_path), "0", "models", "model_final"))
