@@ -234,3 +234,24 @@ def test_pcd_uniform_downsample():
     obs = {"xyz": rs.rand(500, 3) + 0.1, "rgb": rs.rand(500, 3)}
     out = pcd_uniform_downsample(dict(obs), num=64, np_random=rs)
     assert out["xyz"].shape == (64, 3)
+
+
+def test_one_step_sampling_no_replacement():
+    from pointcloud_rl_tpu.env.sampling_strategy import OneStepTransition
+
+    s = OneStepTransition(with_replacement=False, seed=0)
+    seen = np.concatenate([s.sample(8, 32, 64) for _ in range(4)])
+    assert sorted(seen) == list(range(32))  # one full epoch, no repeats
+    s2 = OneStepTransition(no_random=True)
+    np.testing.assert_array_equal(s2.sample(4, 10, 16), [0, 1, 2, 3])
+    np.testing.assert_array_equal(s2.sample(4, 10, 16), [4, 5, 6, 7])
+
+
+def test_mini_batch_sampler():
+    mem = ReplayMemory(capacity=32)
+    mem.push_batch(dict(obs=np.arange(20, dtype=np.float32)[:, None]))
+    chunks = list(mem.mini_batch_sampler(8, shuffle=False))
+    assert [len(c["obs"]) for c in chunks] == [8, 8, 4]
+    assert np.concatenate([c["obs"][:, 0] for c in chunks]).tolist() == list(range(20))
+    chunks = list(mem.mini_batch_sampler(8, drop_last=True))
+    assert [len(c["obs"]) for c in chunks] == [8, 8]
