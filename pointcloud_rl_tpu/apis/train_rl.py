@@ -141,6 +141,12 @@ def train_rl(
             env_stats = rollout.episode_stats.get_stats() if rollout is not None else {}
             if rollout is not None:
                 rollout.episode_stats.reset_history()
+            if env_stats:
+                # cross-host episode statistics (reference GDict.allreduce,
+                # train_rl.py:315-347); identity on a single host
+                from ..parallel import allreduce_stats
+
+                env_stats = allreduce_stats(env_stats, op="mean")
             elapsed = time.monotonic() - begin_time
             rate = (steps - begin_steps) / max(elapsed, 1e-9)
             eta = format_eta((total_steps - steps) / max(rate, 1e-9))
