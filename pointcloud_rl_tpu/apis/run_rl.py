@@ -168,6 +168,11 @@ def run(cfg: Config, work_dir: str, seed: int, args) -> None:
         logger.info(f"Resuming from {resume_path} (step {resume_steps})")
         agent.load_state_dict(load_checkpoint(resume_path, agent.state_dict(), keys_map=getattr(args, "resume_keys_map", None)))
         resume_steps = int(train_cfg.get("resume_steps", resume_steps))
+        # warm-restore the replay if a snapshot sits next to the checkpoints
+        snap = osp.join(work_dir, "models", "replay_latest.h5")
+        if replay is not None and osp.exists(snap):
+            replay.load_hdf5(snap)
+            logger.info(f"Restored replay snapshot: {len(replay)} transitions")
 
     exp_logger_cfg = train_cfg.pop("exp_logger_cfg", dict(type="tensorboard"))
     if isinstance(exp_logger_cfg, dict):
@@ -195,7 +200,7 @@ def run(cfg: Config, work_dir: str, seed: int, args) -> None:
             profile_steps=getattr(args, "profile", 0),
             **{k: v for k, v in train_cfg.items() if k in (
                 "total_steps", "warm_steps", "n_steps", "n_updates", "n_log",
-                "n_eval", "n_checkpoint", "on_policy",
+                "n_eval", "n_checkpoint", "on_policy", "save_replay",
             )},
         )
     finally:

@@ -45,7 +45,12 @@ def train_rl(
     exp_logger=None,
     is_lead: bool = True,
     profile_steps: int = 0,
+    save_replay: int = 0,
 ) -> None:
+    """``save_replay=N``: snapshot the N most recent replay transitions next
+    to each checkpoint (models/replay_latest.h5) so auto-resume continues
+    with a warm buffer instead of a cold one (the reference loses the
+    buffer on resume)."""
     logger = get_logger("pcrl")
     profiler_active = False
     if profile_steps > 0:
@@ -194,6 +199,13 @@ def train_rl(
             std_step = ckpt_trigger.standard(steps)
             path = save_checkpoint(agent.state_dict(), work_dir, std_step)
             logger.info(f"Saved checkpoint at step {std_step}: {path}")
+            if save_replay and replay is not None and hasattr(replay, "tail"):
+                from ..env.replay import ReplayMemory as _HostReplay
+
+                snap = _HostReplay(capacity=min(save_replay, len(replay)))
+                snap.push_batch(replay.tail(min(save_replay, len(replay))))
+                snap.to_hdf5(osp.join(work_dir, "models", "replay_latest.h5"))
+                logger.info(f"Saved replay snapshot ({len(snap)} transitions)")
 
     if profiler_active:
         import jax

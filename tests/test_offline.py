@@ -50,3 +50,26 @@ def test_offline_training_from_hdf5(tmp_path):
     import os
 
     assert os.path.exists(str(tmp_path / "run" / "models" / "model_final"))
+
+
+def test_replay_snapshot_on_checkpoint(tmp_path):
+    """save_replay=N writes models/replay_latest.h5 alongside checkpoints."""
+    import os
+
+    from pointcloud_rl_tpu.env import Rollout
+
+    ro = Rollout(env_cfg=dict(type="gym", env_name="reacher3d_easy-v0", obs_mode="state"), num_procs=1, base_seed=0)
+    mem = ReplayMemory(capacity=64)
+    agent = build_agent(_state_agent_cfg(obs_dim=4, action_dim=3))
+    try:
+        train_rl(
+            agent=agent, rollout=ro, evaluator=None, replay=mem,
+            work_dir=str(tmp_path), total_steps=20, warm_steps=8,
+            n_steps=1, n_updates=1, n_log=10, n_checkpoint=10, save_replay=16,
+        )
+    finally:
+        ro.close()
+    snap = os.path.join(str(tmp_path), "models", "replay_latest.h5")
+    assert os.path.exists(snap)
+    mem2 = ReplayMemory(capacity=64, buffer_filenames=[snap])
+    assert len(mem2) == 16
