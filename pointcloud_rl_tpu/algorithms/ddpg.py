@@ -41,6 +41,15 @@ class DDPG(SAC):
         self.use_target_smoothing = bool(use_target_smoothing)
         super().__init__(*args, **kwargs)
         assert not self.is_discrete, "DDPG needs continuous actions"
+        # Canonical DDPG/TD3 uses a TARGET policy network for a' = pi_t(s'):
+        # add the actor subtree to the target params (SAC's init_target_params
+        # copies only critic/visual) and extend the EMA tau tree to match.
+        from .optim import build_tau_tree
+
+        tp = dict(self.train_state.target_params)
+        tp["actor"] = jax.tree_util.tree_map(jnp.array, self.train_state.params["actor"])
+        self.train_state = self.train_state.replace(target_params=tp)
+        self.tau_tree = build_tau_tree(kwargs.get("update_coeff", 0.005), tp)
 
     # exploration: deterministic action + Gaussian noise, clipped to bounds
     def _build_act(self, mode: str):
@@ -62,14 +71,16 @@ class DDPG(SAC):
 
     def _compute_q_target(self, params, target_params, log_alpha, batch, rng):
         model = self.model
-        next_a, _ = model.actor_apply(params, batch["next_obs"], mode="eval")
+        next_a, _ = model.target_actor_apply(params, target_params, batch["next_obs"], mode="eval")
         if self.use_target_smoothing:
             noise = jnp.clip(
                 self.target_noise * jax.random.normal(rng, next_a.shape),
                 -self.target_noise_clip,
                 self.target_noise_clip,
             )
-            next_a = jnp.clip(next_a + noise, -1.0, 1.0)
+            bounds = self.model.actor.head._bounds()[0] if hasattr(self.model.actor.head, "_bounds") else None
+            lo, hi = (bounds[0], bounds[1]) if bounds is not None else (-1.0, 1.0)
+            next_a = jnp.clip(next_a + noise, lo, hi)
         q_next = model.target_critic_apply(params, target_params, batch["next_obs"], actions=next_a)
         min_q_next = q_next.min(axis=-1, keepdims=True)
         rewards = batch["rewards"] * self.reward_scale

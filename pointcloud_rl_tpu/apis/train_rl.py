@@ -137,7 +137,10 @@ def train_rl(
             logger.info(f"Profiler trace written to {osp.join(work_dir, 'profile')}")
 
         # ---- logging (train_rl.py:315-371) ---------------------------------
-        if log_trigger.check(steps) and is_lead:
+        # allreduce_stats is a symmetric collective: EVERY host must enter it
+        # at each log boundary or the lead blocks forever; only the actual
+        # writes below are lead-gated.
+        if log_trigger.check(steps):
             if lazy_vec_sum is not None:
                 avg_metrics = agent.reduce_metric_vecs(lazy_vec_sum, lazy_count)  # ONE device fetch
                 lazy_vec_sum, lazy_count = None, 0
@@ -170,9 +173,10 @@ def train_rl(
                 + " | "
                 + dict_to_str(diag)
             )
-            logger.info(line)
-            if exp_logger is not None:
-                exp_logger.log({**env_stats, **avg_metrics, **diag}, step=steps, tag="train")
+            if is_lead:
+                logger.info(line)
+                if exp_logger is not None:
+                    exp_logger.log({**env_stats, **avg_metrics, **diag}, step=steps, tag="train")
             metric_sums.clear()
             metric_counts.clear()
             time_sums.clear()

@@ -120,18 +120,23 @@ class Evaluation:
                 osp.join(work_dir, f"episode_{episode_idx}.mp4"), fps=20, format="FFMPEG", codec="libx264"
             )
 
-        # episode index currently being run in each env slot
-        episode_idx = list(range(min(self.num_envs, num)))
-        next_episode = len(episode_idx)
+        # episode index currently being run in each env slot; slots beyond
+        # ``num`` stay idle (None) so num < num_envs never over-indexes
+        episode_idx = [i if i < num else None for i in range(self.num_envs)]
+        next_episode = min(self.num_envs, num)
         lens = [0] * num
         rewards = [0.0] * num
         finishes = [False] * num
 
         reset_kwargs = {}
         if self.eval_levels is not None:
-            reset_kwargs["level"] = [self.eval_levels[i % len(self.eval_levels)] for i in episode_idx]
+            reset_kwargs["level"] = [
+                self.eval_levels[(i if i is not None else 0) % len(self.eval_levels)] for i in episode_idx
+            ]
         obs = self.vec_env.reset(**reset_kwargs)
         for slot, ep in enumerate(episode_idx):
+            if ep is None:
+                continue
             video_writers[slot] = _start_video(slot, ep)
             if video_writers[slot] is not None:
                 frame = self.vec_env.render(idx=[slot])

@@ -133,10 +133,10 @@ class ReplayMemory:
         from .sampling_strategy import TStepTransition
 
         assert isinstance(self.sampling, TStepTransition), "sample_windows needs sampling_cfg type TStepTransition"
-        horizon = horizon or self.sampling.horizon
+        horizon = self.sampling.horizon if horizon is None else horizon
         min_valid = max(self.running_count - self.capacity, 0)
         spans = [(s, s + l) for (s, l) in self._episode_spans if s >= min_valid]
-        idx_g, mask = self.sampling.sample_windows(batch_size, spans)
+        idx_g, mask = self.sampling.sample_windows(batch_size, spans, horizon=horizon)
         flat = (idx_g % self.capacity).reshape(-1)
         out = tree_take(self.memory, flat)
         H = idx_g.shape[1]

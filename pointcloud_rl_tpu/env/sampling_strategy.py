@@ -51,27 +51,40 @@ class TStepTransition:
     sampling_strategy.py:105-246).  Returns [B, H] indices + padding mask;
     horizon=-1 samples whole episodes.  Used by recurrent policies."""
 
-    def __init__(self, horizon: int = 1, seed: Optional[int] = None):
+    def __init__(self, horizon: int = 1, seed: Optional[int] = None, max_horizon: Optional[int] = None):
         self.horizon = horizon
+        self.max_horizon = max_horizon  # optional cap on the H=-1 window width
         self.rng = np.random.RandomState(seed)
 
     def reset(self) -> None:
         pass
 
-    def sample_windows(self, batch_size: int, episode_spans: List[Tuple[int, int]]):
-        """episode_spans: list of (start, end) flat index ranges (end exclusive)."""
+    def sample_windows(self, batch_size: int, episode_spans: List[Tuple[int, int]], horizon: Optional[int] = None):
+        """episode_spans: list of (start, end) flat index ranges (end exclusive).
+
+        horizon=-1 returns WHOLE episodes (reference sampling_strategy.py:
+        105-246): the window width is the longest sampled episode (optionally
+        capped by ``max_horizon``), with shorter episodes mask-padded.
+        Padded rows repeat the episode's last index so gathered frames stay
+        in-episode; ``is_valid`` masks them out of the loss."""
         assert episode_spans, "No complete episodes available"
-        H = self.horizon
-        starts, masks = [], []
+        H = self.horizon if horizon is None else horizon
         span_idx = self.rng.randint(0, len(episode_spans), batch_size)
-        idx = np.zeros((batch_size, max(H, 1)), np.int64)
-        mask = np.zeros((batch_size, max(H, 1)), bool)
+        if H == -1:
+            width = max(episode_spans[si][1] - episode_spans[si][0] for si in span_idx)
+            if self.max_horizon is not None:
+                width = min(width, int(self.max_horizon))
+        else:
+            width = H
+        idx = np.zeros((batch_size, width), np.int64)
+        mask = np.zeros((batch_size, width), bool)
         for b, si in enumerate(span_idx):
             s, e = episode_spans[si]
             length = e - s
             if H == -1 or H >= length:
-                take = min(length, idx.shape[1])
+                take = min(length, width)
                 idx[b, :take] = np.arange(s, s + take)
+                idx[b, take:] = s + take - 1
                 mask[b, :take] = True
             else:
                 t0 = self.rng.randint(s, e - H + 1)

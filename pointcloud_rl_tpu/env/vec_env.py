@@ -79,11 +79,27 @@ def _worker_loop(env_fn_cfg, worker_seed, conn):
         conn.close()
 
 
+def _mp_context():
+    """Worker start-method: ``forkserver`` by default (override with
+    PCRL_MP_START).  Plain ``fork`` after JAX has spawned XLA threads is a
+    documented deadlock hazard; the forkserver process is started before any
+    device use and preloads the env package once, so each worker is a cheap
+    fork that already has numpy/jax modules mapped copy-on-write."""
+    method = os.environ.get("PCRL_MP_START", "forkserver")
+    ctx = mp.get_context(method)
+    if method == "forkserver":
+        try:
+            ctx.set_forkserver_preload(["pointcloud_rl_tpu.env"])
+        except (ValueError, RuntimeError):
+            pass
+    return ctx
+
+
 class EnvWorker:
     """Handle to one subprocess env (reference Worker, parallel_runner.py:14)."""
 
     def __init__(self, env_cfg, seed=None, ctx=None):
-        ctx = ctx or mp.get_context("fork")
+        ctx = ctx or _mp_context()
         self.conn, child = ctx.Pipe()
         self.proc = ctx.Process(target=_worker_loop, args=(env_cfg, seed, child), daemon=True)
         self.proc.start()
@@ -189,7 +205,7 @@ class VectorEnv(VectorEnvBase):
     def __init__(self, env_cfgs, seeds: Optional[List[int]] = None, use_shared_memory: bool = True):
         self.num_envs = len(env_cfgs)
         seeds = seeds or [None] * self.num_envs
-        ctx = mp.get_context("fork")
+        ctx = _mp_context()
         self.workers = [EnvWorker(cfg, seed, ctx) for cfg, seed in zip(env_cfgs, seeds)]
         self.single_action_space = self.workers[0].ask("getattr", "action_space")
         self.action_space = stack_action_space(self.single_action_space, self.num_envs)
@@ -352,6 +368,11 @@ class UnifiedVectorEnvAPI(VectorEnvBase):
         self.recent_obs = next_obs
         done_idx = np.nonzero(dones[:, 0])[0]
         if len(done_idx) and restart:
+            # The auto-reset writes the new episode's first observation into
+            # recent_obs IN PLACE; recent_obs aliases ret["next_obs"], so
+            # re-point recent_obs at a copy first or the returned transition
+            # (and thus the replay) would bootstrap from the wrong episode.
+            self.recent_obs = tree_map(lambda x: x.copy(), next_obs)
             self.reset(idx=done_idx)
         return ret
 

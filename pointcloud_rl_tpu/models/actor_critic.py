@@ -306,6 +306,15 @@ class ActorCriticModel:
             return jnp.take_along_axis(q, idx, axis=-1)[..., 0]  # [B, num_q]
         return q  # raw Q-table [B, num_q, num_choices]
 
+    def target_actor_apply(self, params, target_params, obs, mode: str = "eval", rng=None, seq: bool = False):
+        """Actor forward through target-owned subtrees (target policy network,
+        canonical DDPG/TD3 a' = pi_target(s')).  Subtrees absent from
+        target_params (e.g. a shared-target visual backbone, or SAC which has
+        no target actor) fall back to the live params."""
+        src = dict(params)
+        src.update(target_params)
+        return self.actor_apply(src, obs, mode=mode, rng=rng, seq=seq)
+
     def target_critic_apply(self, params, target_params, obs, actions=None, actions_prob=None,
                             seq: bool = False, episode_dones=None):
         """Target critic; shared-target backbones read the LIVE visual params."""

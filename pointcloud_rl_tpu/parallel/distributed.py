@@ -82,18 +82,40 @@ def allreduce_stats(stats: Dict[str, float], op: str = "mean") -> Dict[str, floa
 
 class DistVar:
     """Named cross-host counter (reference TCPStore DistVar,
-    distributed_utils.py:157-215), built on allgather of per-host values —
-    used for DD-PPO-style collection votes."""
+    distributed_utils.py:157-215), backed by the JAX coordination service's
+    key-value store: ``add`` is a one-sided ``key_value_increment`` RPC and
+    ``get`` a non-blocking ``key_value_try_get``, so hosts may call them any
+    number of times (including zero) without deadlocking peers — unlike any
+    allgather-based design, where a host that exits its loop early leaves
+    voters blocked in a collective forever.
+
+    Keys are namespaced by a per-name generation counter so a fresh DistVar
+    with the same name starts at zero even though coordination-service keys
+    persist; all hosts construct vars for a given name in the same order
+    (the training loop is symmetric), so generations agree without a sync.
+    """
+
+    _generations: Dict[str, int] = {}
 
     def __init__(self, name: str):
-        self.name = name
-        self._local = 0.0
+        gen = DistVar._generations.get(name, 0)
+        DistVar._generations[name] = gen + 1
+        self.key = f"pcrl/distvar/{name}/{gen}"
+        self._local = 0
+        from jax._src import distributed
 
-    def add(self, value: float = 1.0) -> None:
-        self._local += value
+        self._client = distributed.global_state.client  # None when single-host
 
-    def set(self, value: float) -> None:
-        self._local = value
+    def add(self, value: int = 1) -> None:
+        if self._client is None:
+            self._local += int(value)
+        else:
+            self._client.key_value_increment(self.key, int(value))
 
-    def get(self) -> float:
-        return allreduce_stats({self.name: self._local}, op="sum")[self.name]
+    def get(self) -> int:
+        if self._client is None:
+            return self._local
+        try:
+            return int(self._client.key_value_try_get(self.key))
+        except Exception:  # NOT_FOUND: nobody has incremented yet
+            return 0
