@@ -1,12 +1,17 @@
 """Benchmark harness: combined env + gradient steps/sec, SAC + PointNet.
 
-Measures the BASELINE.md north-star metric on real hardware: the
-`dmc_walker_walk` pointcloud config (512 pts/frame x 3 stacked frames,
-batch 256, n_steps=1/n_updates=1) interleaving one env step with one
-gradient step exactly like the training loop, with the replay HBM-resident
-(DeviceReplayMemory) and the TPU update dispatched asynchronously so it
-overlaps the host-side MuJoCo render.  Falls back to the synthetic DistEnv
-when MuJoCo rendering is unavailable.
+Measures the BASELINE.md north-star metric on real hardware with the
+framework's OWN hot path: `dmc_walker_walk` pointcloud obs (512 pts/frame x 3
+stacked frames, batch 256) collected by the pipelined multi-worker Rollout
+(NUM_PROCS subprocess MuJoCo envs, grouped so policy-fetch latency overlaps
+simulation) with the replay HBM-resident (DeviceReplayMemory) and one
+gradient step per env step dispatched as a single lax.scan program per cycle.
+
+Phases reported on stderr (the reference's sim/agent/copy/overhead split):
+  1. grad-only   — scanned updates on the HBM replay (device ceiling) + MFU
+  2. env-only    — raw vec-env stepping, no policy (host ceiling: this host
+                   has ONE CPU core, so worker sims serialize on it)
+  3. combined    — the real training loop shape (headline metric)
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
@@ -30,8 +35,13 @@ REFERENCE_COMBINED_STEPS_PER_SEC = 40.0  # documented estimate, see module docst
 N_POINTS = 512 * 3  # walker: DEFAULT_NUM_BODY 384 * 4/3 = 512/frame, 3 frames
 ACTION_DIM = 6
 BATCH = 256
-GRAD_STEPS = 100
-COMBINED_STEPS = 150
+NUM_PROCS = 16
+PIPELINE_GROUPS = 4
+GRAD_SCAN = NUM_PROCS  # updates per dispatched program; == NUM_PROCS so the
+# grad-only phase and the combined phase share ONE compiled scan program
+# TPU v5e bf16 peak per chip; the update runs f32 so this denominator is
+# conservative (f32 on the MXU is ~1/2 the bf16 rate).
+PEAK_FLOPS = 197e12
 
 
 def build_agent():
@@ -39,98 +49,140 @@ def build_agent():
 
     from pointcloud_rl_tpu.algorithms import build_agent as _build
 
-    cfg = _agent_cfg(N_POINTS, ACTION_DIM, fused=True)  # Pallas fused PointNet body
+    cfg = _agent_cfg(N_POINTS, ACTION_DIM, fused=False)  # plain-XLA body: the
+    # Pallas fused kernel has no backward kernel yet and measures SLOWER
+    # for training (19.8 vs 25.5 ms/update); revisit with the bwd kernel
     cfg["batch_size"] = BATCH
     return _build(cfg)
 
 
-def device_memory():
+def device_memory(capacity=4096, fill=2048):
     from __graft_entry__ import _example_batch
 
     from pointcloud_rl_tpu.env import DeviceReplayMemory
 
-    mem = DeviceReplayMemory(capacity=4096, seed=0)
-    mem.push_batch(_example_batch(2048, N_POINTS, ACTION_DIM, seed=0))
+    # keys filter: rollout transitions carry extra keys (prev_actions,
+    # worker_indices) the update never reads; keep storage to the SAC batch.
+    mem = DeviceReplayMemory(
+        capacity=capacity, seed=0,
+        keys=["obs", "next_obs", "actions", "rewards", "dones", "episode_dones"],
+    )
+    mem.push_batch(_example_batch(fill, N_POINTS, ACTION_DIM, seed=0))
     return mem
 
 
-def measure_grad_rate(agent, mem) -> float:
+def measure_grad_rate(agent, mem):
+    """Scanned updates: one dispatch per GRAD_SCAN gradient steps."""
     import jax
 
-    for i in range(3):  # compile + warm
-        agent.update_parameters_lazy(mem, i)
-    jax.block_until_ready(agent.train_state.params)
+    np.asarray(agent.update_parameters_scan(mem, GRAD_SCAN))  # compile + warm
+    # NB: sync points fetch the metric vector (np.asarray) — on the tunneled
+    # runtime block_until_ready can return before execution completes.
     t0 = time.monotonic()
+    loops = 4
     vec = None
-    for i in range(GRAD_STEPS):
-        v = agent.update_parameters_lazy(mem, 3 + i)
+    for _ in range(loops):
+        v = agent.update_parameters_scan(mem, GRAD_SCAN)
         vec = v if vec is None else vec + v
-    jax.block_until_ready(vec)
-    assert np.isfinite(np.asarray(vec)).all()
-    return GRAD_STEPS / (time.monotonic() - t0)
+    vec = np.asarray(vec)
+    assert np.isfinite(vec).all()
+    return loops * GRAD_SCAN / (time.monotonic() - t0)
 
 
-def make_env():
+def update_flops(agent, mem):
+    """XLA's own cost analysis of the fused sample+update program."""
+    import jax
+
+    from pointcloud_rl_tpu.utils.flops import cost_analysis
+
     try:
-        from pointcloud_rl_tpu.env import build_env
+        if agent._storage_update_jit is None:
+            agent._storage_update_jit = agent._build_storage_update()
+        lowered = agent._storage_update_jit.lower(
+            agent.train_state, mem.storage, np.int32(len(mem)), jax.random.PRNGKey(0)
+        )
+        return float(lowered.compile().cost_analysis().get("flops", float("nan")))
+    except Exception:
+        return float("nan")
 
-        env = build_env(dict(type="gym", env_name="dmc_walker_walk-v0", obs_mode="pointcloud", stack_frame=3))
-        env.seed(0)
-        env.reset()
-        return env, "dmc_walker_walk"
+
+def make_rollout():
+    from pointcloud_rl_tpu.env import Rollout
+
+    env_cfg = dict(type="gym", env_name="dmc_walker_walk-v0", obs_mode="pointcloud", stack_frame=3)
+    try:
+        return Rollout(env_cfg=env_cfg, num_procs=NUM_PROCS, base_seed=0,
+                       pipeline_groups=PIPELINE_GROUPS), "dmc_walker_walk"
     except Exception as e:
         print(f"# walker env unavailable ({type(e).__name__}: {e}); falling back to DistEnv", file=sys.stderr)
-        from pointcloud_rl_tpu.env import build_env
-
-        env = build_env(dict(type="gym", env_name="reacher3d_easy-v0", obs_mode="pointcloud"))
-        env.seed(0)
-        env.reset()
-        return env, "dist_env"
+        env_cfg = dict(type="gym", env_name="reacher3d_easy-v0", obs_mode="pointcloud")
+        return Rollout(env_cfg=env_cfg, num_procs=NUM_PROCS, base_seed=0,
+                       pipeline_groups=PIPELINE_GROUPS), "dist_env"
 
 
-def measure_combined_rate(agent, env, mem) -> float:
-    """One env step + one gradient step per unit, like train_rl with
-    n_steps=1/n_updates=1.  The update is dispatched BEFORE the env step so
-    the TPU works while MuJoCo renders on the host (async dispatch)."""
+def measure_env_rate(rollout, steps=256):
+    """Raw host stepping ceiling: fixed actions, no policy, no replay."""
+    vec = rollout.vec_env
+    actions = np.stack([vec.single_action_space.sample() for _ in range(vec.num_envs)]).astype(np.float32)
+    vec.step_dict(actions)  # warm
+    t0 = time.monotonic()
+    n = 0
+    while n < steps:
+        vec.step_dict(actions)
+        n += vec.num_envs
+    return n / (time.monotonic() - t0)
+
+
+def measure_combined_rate(agent, rollout, mem, cycles=12):
+    """The training-loop shape at n_steps=n_updates=NUM_PROCS: one pipelined
+    collection cycle (NUM_PROCS env steps across the workers) + NUM_PROCS
+    gradient steps dispatched as ONE scanned program that executes while the
+    next cycle's hosts simulate."""
     import jax
 
-    obs = env.reset()
-
-    def act(o):
-        batched = {k: np.asarray(v)[None] for k, v in o.items()}
-        return np.asarray(agent.forward(batched, mode="explore"))[0]
-
-    a = act(obs)  # compile the act path on real shapes
+    n = rollout.num_envs
+    rollout.forward_with_policy(agent, n, mem)  # compile act path on real shapes
+    np.asarray(agent.update_parameters_scan(mem, n))  # compile scan(n)
+    rollout.timer.reset()
     t0 = time.monotonic()
-    updates = 0
     vec = None
-    for _ in range(COMBINED_STEPS):
-        v = agent.update_parameters_lazy(mem, updates)  # async; overlaps the render below
+    for _ in range(cycles):
+        rollout.forward_with_policy(agent, n, mem)
+        v = agent.update_parameters_scan(mem, n)
         vec = v if vec is None else vec + v
-        updates += 1
-        obs, r, done, info = env.step(a)
-        a = act(obs)
-        if done:
-            obs = env.reset()
-            a = act(obs)
-    jax.block_until_ready(vec)
-    return COMBINED_STEPS / (time.monotonic() - t0)
+    vec = np.asarray(vec)
+    dt = time.monotonic() - t0
+    assert np.isfinite(vec).all()
+    t = rollout.timer.todict()
+    breakdown = {k: round(t.get(k, 0.0), 2) for k in ("simulation", "agent", "copy")}
+    return cycles * n / dt, breakdown
 
 
 def main() -> None:
     agent = build_agent()
     mem = device_memory()
-    # The tunneled TPU runtime has pronounced cold-start/staging effects;
-    # run each phase twice and report steady state (best of two).
-    grad_rate = max(measure_grad_rate(agent, mem) for _ in range(2))
-    env, env_name = make_env()
+    grad_rate = measure_grad_rate(agent, mem)
+    flops_per_update = update_flops(agent, mem)
+    grad_mfu = flops_per_update * grad_rate / PEAK_FLOPS
+
+    rollout, env_name = make_rollout()
     try:
-        combined = max(measure_combined_rate(agent, env, mem) for _ in range(2))
+        env_rate = measure_env_rate(rollout)
+        # The tunneled TPU runtime has pronounced cold-start/staging effects;
+        # run the combined phase twice and report steady state (best of two).
+        combined, breakdown = max(
+            (measure_combined_rate(agent, rollout, mem) for _ in range(2)), key=lambda x: x[0]
+        )
     finally:
-        env.close()
+        rollout.close()
+
+    mfu = flops_per_update * combined / PEAK_FLOPS
     print(
-        f"# grad-only: {grad_rate:.1f} step/s (batch {BATCH}, {N_POINTS} pts, HBM replay) | "
-        f"combined 1 env + 1 grad ({env_name}): {combined:.1f} step/s",
+        f"# grad-only: {grad_rate:.1f} step/s (batch {BATCH}, {N_POINTS} pts, HBM replay, "
+        f"scan {GRAD_SCAN}/dispatch, {flops_per_update/1e9:.2f} GFLOP/update, MFU {grad_mfu*100:.2f}%) | "
+        f"env-only ({env_name}, {NUM_PROCS} workers on 1 host core): {env_rate:.1f} step/s | "
+        f"combined 1 env + 1 grad: {combined:.1f} step/s (update MFU {mfu*100:.2f}%), "
+        f"rollout time split {breakdown}",
         file=sys.stderr,
     )
     print(json.dumps({

@@ -119,8 +119,12 @@ class BaseAgent:
     def _build_act(self, mode: str) -> Callable:
         raise NotImplementedError
 
-    def forward(self, obs, mode: str = "explore", **kwargs) -> np.ndarray:
-        """obs (numpy tree, batched) -> actions (numpy [B, A])."""
+    def forward_async(self, obs, mode: str = "explore", **kwargs):
+        """Dispatch the jitted act WITHOUT fetching: returns a device array
+        whose device->host copy is already in flight (``copy_to_host_async``).
+        ``np.asarray`` on the result completes the fetch.  On remote/tunneled
+        devices the fetch latency dominates the act cost; dispatching here and
+        fetching later lets env simulation overlap it (pipelined rollout)."""
         if (
             isinstance(obs, dict)
             and "xyz" in obs
@@ -139,9 +143,15 @@ class BaseAgent:
             actions, self._rnn_states, self.train_state = self._act_fns[mode](
                 self.train_state, obs, self._rnn_states
             )
-            return np.asarray(actions)
-        actions, self.train_state = self._act_fns[mode](self.train_state, obs)
-        return np.asarray(actions)
+        else:
+            actions, self.train_state = self._act_fns[mode](self.train_state, obs)
+        if hasattr(actions, "copy_to_host_async"):
+            actions.copy_to_host_async()
+        return actions
+
+    def forward(self, obs, mode: str = "explore", **kwargs) -> np.ndarray:
+        """obs (numpy tree, batched) -> actions (numpy [B, A])."""
+        return np.asarray(self.forward_async(obs, mode=mode, **kwargs))
 
     def reset_rnn_states(self, dones=None) -> None:
         """Zero recurrent states (for done envs when ``dones`` [B, 1] given)."""

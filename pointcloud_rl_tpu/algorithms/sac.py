@@ -248,6 +248,53 @@ class SAC(BaseAgent):
 
         return step
 
+    def _build_storage_update_scan(self):
+        """K gradient steps in ONE device program (lax.scan over the fused
+        sample+update): per-dispatch host cost and round-trip latency are paid
+        once per K updates instead of once per update — on a tunneled TPU the
+        dispatch overhead otherwise rivals the compute."""
+        batch_size = self.batch_size
+
+        @partial(jax.jit, static_argnames=("n",), donate_argnums=(0,))
+        def step_n(state, storage, size, key, n):
+            def body(carry, k):
+                idx = jax.random.randint(k, (batch_size,), 0, size)
+                batch = jax.tree_util.tree_map(lambda s: jnp.take(s, idx, axis=0), storage)
+                if self.use_episode_dones:
+                    batch["dones"] = batch["episode_dones"]
+                new_state, vec = self._packed_update(carry, batch)
+                return new_state, vec
+
+            keys = jax.random.split(key, n)
+            state, vecs = jax.lax.scan(body, state, keys)
+            return state, vecs.sum(axis=0)
+
+        return step_n
+
+    def update_parameters_scan(self, memory, n: int):
+        """Run ``n`` gradient steps as one dispatched program over an
+        HBM-resident replay; returns the SUMMED packed metric vector (no host
+        sync).  Falls back to ``n`` lazy updates for host replays."""
+        from ..env.device_replay import DeviceReplayMemory
+
+        if not (isinstance(memory, DeviceReplayMemory) and not self.model.is_recurrent and self.obs_rms is None):
+            vec = None
+            for i in range(n):
+                v = self.update_parameters_lazy(memory, i)
+                vec = v if vec is None else vec + v
+            return vec
+        if getattr(self, "_storage_scan_jit", None) is None:
+            self._storage_scan_jit = self._build_storage_update_scan()
+        memory._key, sub = jax.random.split(memory._key)
+        self.train_state, vec_sum = self._storage_scan_jit(
+            self.train_state, memory.storage, jnp.asarray(len(memory), jnp.int32), sub, n
+        )
+        self._inflight = getattr(self, "_inflight", 0) + 1
+        if self._inflight >= 16:
+            jax.block_until_ready(vec_sum)
+            self._inflight = 0
+        return vec_sum
+
     def update_parameters_lazy(self, memory, updates: int):
         """One gradient step; returns the packed metric vector WITHOUT any
         host sync, so callers can pipeline updates with host work (env

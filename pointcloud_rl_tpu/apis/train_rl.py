@@ -112,7 +112,15 @@ def train_rl(
 
         update_t0 = time.monotonic()
         agent.train()
-        if hasattr(agent, "update_parameters_lazy"):
+        if hasattr(agent, "update_parameters_scan") and n_updates > 1:
+            # All n_updates gradient steps in ONE dispatched device program
+            # (lax.scan over the fused sample+update) — one round trip per
+            # iteration instead of one per update on remote devices.
+            total_updates += n_updates
+            vec = agent.update_parameters_scan(replay, n_updates)
+            lazy_vec_sum = vec if lazy_vec_sum is None else lazy_vec_sum + vec
+            lazy_count += n_updates
+        elif hasattr(agent, "update_parameters_lazy"):
             # Lazy path: metric vectors accumulate ON DEVICE; nothing syncs
             # until log time, so updates overlap with env stepping.
             for _ in range(n_updates):

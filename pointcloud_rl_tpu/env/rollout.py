@@ -30,12 +30,19 @@ class Rollout:
         with_info: bool = False,
         full_episode: bool = False,
         base_seed: Optional[int] = None,
+        pipeline_groups: Optional[int] = None,
         **kwargs,
     ):
         self.vec_env = build_vec_env(env_cfg, num_procs, base_seed=base_seed)
         self.num_envs = self.vec_env.num_envs
         self.full_episode = full_episode
         self.with_info = with_info
+        # Pipelined collection: split the envs into groups; while one group's
+        # policy fetch is in flight (pure latency on remote devices) the other
+        # groups' workers simulate.  None -> 2 groups when there are >=2 envs.
+        if pipeline_groups is None:
+            pipeline_groups = 2 if self.num_envs >= 2 else 1
+        self.pipeline_groups = max(1, min(int(pipeline_groups), self.num_envs))
         self.timer = Timer()
         self.logger = get_logger("pcrl.rollout")
         self.episode_stats = EpisodicStatistics(self.num_envs)
@@ -80,6 +87,13 @@ class Rollout:
         assert num % self.num_envs == 0, (
             f"num ({num}) must be divisible by num_envs ({self.num_envs}) for synchronized stepping"
         )
+        can_pipeline = (
+            self.pipeline_groups > 1
+            and hasattr(pi, "forward_async")
+            and not getattr(getattr(pi, "model", None), "is_recurrent", False)
+        )
+        if can_pipeline:
+            return self._forward_pipelined(pi, num, replay)
         steps = num // self.num_envs
         last = None
         for _ in range(steps):
@@ -95,6 +109,110 @@ class Rollout:
                 replay.push_batch(trans)
             self.timer.tick("copy")
             last = trans
+        if last is not None:
+            last = dict(last)
+            last["_stats"] = self._stats(num)
+        return last
+
+    def _forward_pipelined(self, pi, num: int, replay) -> Dict[str, Any]:
+        """Grouped pipelined collection (reference rollout.py:144-181
+        step_async + partial_forward, redesigned for a remote accelerator).
+
+        The per-group dependency chain act->step->obs is strict, so overlap
+        comes from running the G groups' chains against each other: while one
+        group's action fetch is in flight (~tens of ms of pure round-trip
+        latency on a tunneled TPU, nearly zero host CPU), the other groups'
+        env workers simulate, and vice versa.  A non-blocking event loop
+        (jax.Array.is_ready + pipe polls) services whichever group is ready.
+
+        Per-group timing attribution: 'agent' counts blocked action fetches,
+        'simulation' blocked step waits, 'copy' replay pushes.
+        """
+        import time as _time
+
+        import numpy as np  # noqa: F811 (local for speed in the loop)
+
+        from ..utils.tree_ops import tree_map
+
+        steps_per_env = num // self.num_envs
+        groups = np.array_split(np.arange(self.num_envs), self.pipeline_groups)
+        NEED_ACT, ACT_PENDING, SIMULATING, DONE = range(4)
+        state = [NEED_ACT] * len(groups)
+        remaining = [steps_per_env] * len(groups)
+        futures: Dict[int, Any] = {}
+        collected: list = []  # transitions buffered for ONE replay push at the end
+        last = None
+        t_agent = t_sim = t_copy = 0.0
+
+        def _obs_of(idx):
+            return tree_map(lambda x: x[idx], self.vec_env.recent_obs)
+
+        def _finish(g, idx, block: bool):
+            nonlocal last, t_sim
+            t0 = _time.monotonic()
+            if not block and not self.vec_env.step_dict_poll(idx=idx):
+                return False
+            trans = self.vec_env.step_dict_wait(idx=idx)
+            t_sim += _time.monotonic() - t0
+            for rank, w in enumerate(idx):
+                self.episode_stats.push_single(
+                    int(w), float(trans["rewards"][rank, 0]), bool(trans["episode_dones"][rank, 0])
+                )
+            if replay is not None:
+                # drop infos before concat (replays skip them; key sets can
+                # differ between groups which would break tree_concat)
+                collected.append({k: v for k, v in trans.items() if k != "infos"})
+            remaining[g] -= 1
+            state[g] = NEED_ACT if remaining[g] > 0 else DONE
+            last = trans
+            return True
+
+        while any(s != DONE for s in state):
+            progress = False
+            for g, idx in enumerate(groups):
+                if state[g] == NEED_ACT:
+                    t0 = _time.monotonic()
+                    futures[g] = pi.forward_async(_obs_of(idx), mode="explore")
+                    t_agent += _time.monotonic() - t0
+                    state[g] = ACT_PENDING
+                    progress = True
+                elif state[g] == ACT_PENDING and futures[g].is_ready():
+                    t0 = _time.monotonic()
+                    actions = np.asarray(futures.pop(g))
+                    t_agent += _time.monotonic() - t0
+                    self.vec_env.step_dict_async(actions, idx=idx)
+                    state[g] = SIMULATING
+                    progress = True
+                elif state[g] == SIMULATING and _finish(g, idx, block=False):
+                    progress = True
+            if not progress:
+                # Nothing ready: block on the most useful dependency rather
+                # than spin (act fetches first — they gate new sim work).
+                pend = [g for g in range(len(groups)) if state[g] == ACT_PENDING]
+                if pend:
+                    g = pend[0]
+                    t0 = _time.monotonic()
+                    actions = np.asarray(futures.pop(g))
+                    t_agent += _time.monotonic() - t0
+                    self.vec_env.step_dict_async(actions, idx=groups[g])
+                    state[g] = SIMULATING
+                else:
+                    sim = [g for g in range(len(groups)) if state[g] == SIMULATING]
+                    assert sim, "pipeline stalled with no pending work"
+                    _finish(sim[0], groups[sim[0]], block=True)
+
+        if replay is not None and collected:
+            # ONE batched push per collection call: a device replay pays one
+            # jitted ring-write dispatch instead of one per group-step.
+            t0 = _time.monotonic()
+            from ..utils.tree_ops import tree_concat
+
+            replay.push_batch(tree_concat(collected, 0))
+            t_copy += _time.monotonic() - t0
+
+        self.timer.add("agent", t_agent)
+        self.timer.add("simulation", t_sim)
+        self.timer.add("copy", t_copy)
         if last is not None:
             last = dict(last)
             last["_stats"] = self._stats(num)

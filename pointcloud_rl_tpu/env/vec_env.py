@@ -86,6 +86,14 @@ def _mp_context():
     device use and preloads the env package once, so each worker is a cheap
     fork that already has numpy/jax modules mapped copy-on-write."""
     method = os.environ.get("PCRL_MP_START", "forkserver")
+    if method == "forkserver":
+        # The forkserver bootstrap re-imports __main__; stdin/REPL parents
+        # have no importable main module, so fall back to fork there.
+        import __main__ as _m
+
+        main_file = getattr(_m, "__file__", None)
+        if main_file is None or str(main_file).startswith("<"):
+            method = "fork"
     ctx = mp.get_context(method)
     if method == "forkserver":
         try:
@@ -172,6 +180,17 @@ class SingleEnv2VecEnv(VectorEnvBase):
             [info],
         )
 
+    # async API parity (in-process: the step runs eagerly)
+    def step_async(self, actions, idx=None) -> None:
+        self._step_result = self.step(actions, idx=idx)
+
+    def step_poll(self, idx=None) -> bool:
+        return getattr(self, "_step_result", None) is not None
+
+    def step_wait(self, idx=None):
+        res, self._step_result = self._step_result, None
+        return res
+
     def step_random_actions(self, num):
         out = self._env.step_random_actions(num)
         return out
@@ -240,9 +259,24 @@ class VectorEnv(VectorEnvBase):
         return tree_stack(obs, 0)
 
     def step(self, actions, idx=None):
+        self.step_async(actions, idx)
+        return self.step_wait(idx)
+
+    def step_async(self, actions, idx=None) -> None:
+        """Dispatch step commands without waiting (reference vec_env
+        partial/async stepping, rollout.py:144-148): workers simulate while
+        the caller overlaps policy inference for other env groups."""
         idx = self._idx(idx)
         for rank, i in enumerate(idx):
             self.workers[i].send("step", actions[rank])
+
+    def step_poll(self, idx=None) -> bool:
+        """True when every worker in ``idx`` has its step result ready."""
+        idx = self._idx(idx)
+        return all(self.workers[i].conn.poll() for i in idx)
+
+    def step_wait(self, idx=None):
+        idx = self._idx(idx)
         results = [self.workers[i].recv() for i in idx]
         obs = tree_stack([self._obs_of(r[0], i) for r, i in zip(results, idx)], 0)
         rewards = np.array([[np.float32(r[1])] for r in results])
@@ -314,6 +348,7 @@ class UnifiedVectorEnvAPI(VectorEnvBase):
         self.prev_actions = None
         self.episode_dones = np.ones((self.num_envs, 1), bool)
         self._action_dim = None
+        self._pending: Dict[tuple, dict] = {}  # step_dict_async bookkeeping
 
     def _zero_actions(self) -> np.ndarray:
         if self.is_discrete:
@@ -340,39 +375,58 @@ class UnifiedVectorEnvAPI(VectorEnvBase):
         assert idx is None, "Partial stepping handled via step_dict(idx=...)"
         return self.vec_env.step(actions)
 
-    def step_dict(self, actions, restart: bool = True) -> Dict[str, Any]:
+    def step_dict(self, actions, restart: bool = True, idx=None) -> Dict[str, Any]:
         """One synchronized vec step -> 9-key transition dict
-        (reference vec_env.py:194-226)."""
+        (reference vec_env.py:194-226).  ``idx`` selects an env subset
+        (partial stepping)."""
+        self.step_dict_async(actions, idx=idx)
+        return self.step_dict_wait(idx=idx, restart=restart)
+
+    def step_dict_async(self, actions, idx=None) -> None:
+        """Dispatch steps for an env group without waiting; pair with
+        :meth:`step_dict_wait`.  While the group simulates, the caller can
+        run policy inference for other groups (the reference's
+        step_async/partial_forward overlap, rollout.py:144-181)."""
+        idx = np.arange(self.num_envs) if idx is None else np.asarray(idx)
+        key = tuple(int(i) for i in idx)
+        assert key not in self._pending, f"Group {key} already has a pending step"
         actions = np.asarray(actions)
-        obs = tree_map(lambda x: x.copy(), self.recent_obs)
-        self.prev_actions = self.recent_actions.copy()
-        self.recent_actions = actions.copy()
-
-        next_obs, rewards, dones, infos = self.vec_env.step(actions)
-        self.episode_dones = dones
-
-        info_lite = _stack_infos(infos)
-        ret = dict(
-            obs=obs,
-            next_obs=next_obs,
-            prev_actions=self.prev_actions.copy(),
+        self._pending[key] = dict(
+            obs=tree_map(lambda x: x[idx].copy(), self.recent_obs),
+            prev_actions=self.recent_actions[idx].copy(),
             actions=actions.copy(),
-            rewards=np.float32(rewards),
-            dones=np.asarray(
-                [[bool(true_done(dones[i, 0], infos[i]))] for i in range(self.num_envs)]
-            ),
-            episode_dones=dones.copy(),
-            infos=info_lite,
-            worker_indices=np.arange(self.num_envs, dtype=np.int32)[:, None],
         )
-        self.recent_obs = next_obs
-        done_idx = np.nonzero(dones[:, 0])[0]
+        self.prev_actions[idx] = self.recent_actions[idx]
+        self.recent_actions[idx] = actions
+        self.vec_env.step_async(actions, idx=idx)
+
+    def step_dict_poll(self, idx=None) -> bool:
+        return self.vec_env.step_poll(idx=np.arange(self.num_envs) if idx is None else np.asarray(idx))
+
+    def step_dict_wait(self, idx=None, restart: bool = True) -> Dict[str, Any]:
+        idx = np.arange(self.num_envs) if idx is None else np.asarray(idx)
+        key = tuple(int(i) for i in idx)
+        pend = self._pending.pop(key)
+        next_obs, rewards, dones, infos = self.vec_env.step_wait(idx)
+        self.episode_dones[idx] = dones
+
+        ret = dict(
+            obs=pend["obs"],
+            next_obs=next_obs,
+            prev_actions=pend["prev_actions"],
+            actions=pend["actions"],
+            rewards=np.float32(rewards),
+            dones=np.asarray([[bool(true_done(dones[r, 0], infos[r]))] for r in range(len(idx))]),
+            episode_dones=dones.copy(),
+            infos=_stack_infos(infos),
+            worker_indices=idx.astype(np.int32)[:, None],
+        )
+        # COPY the fresh next_obs into the persistent recent_obs buffers
+        # (never alias): the auto-reset below and later steps mutate
+        # recent_obs in place and must not corrupt the returned transition.
+        tree_map(lambda dst, src: dst.__setitem__(idx, src), self.recent_obs, next_obs)
+        done_idx = idx[np.nonzero(dones[:, 0])[0]]
         if len(done_idx) and restart:
-            # The auto-reset writes the new episode's first observation into
-            # recent_obs IN PLACE; recent_obs aliases ret["next_obs"], so
-            # re-point recent_obs at a copy first or the returned transition
-            # (and thus the replay) would bootstrap from the wrong episode.
-            self.recent_obs = tree_map(lambda x: x.copy(), next_obs)
             self.reset(idx=done_idx)
         return ret
 

@@ -66,16 +66,22 @@ class SharedTreeBuffer:
 
         def _open(m):
             name, shape, dtype = m
-            shm = shared_memory.SharedMemory(name=name)
-            # Python's resource_tracker would unlink attached segments at
-            # child exit (double-unlink warnings + early destruction);
-            # only the creating process owns the lifetime.
+            # Only the creating process owns the segment lifetime: an
+            # attaching child must not register with the resource tracker at
+            # all (3.12 has no track= kwarg, and tracker processes are shared
+            # across forkserver children, so a post-hoc unregister here would
+            # erase the OWNER's registration and spew KeyErrors at exit).
             try:
+                shm = shared_memory.SharedMemory(name=name, track=False)  # py>=3.13
+            except TypeError:
                 from multiprocessing import resource_tracker
 
-                resource_tracker.unregister(shm._name, "shared_memory")  # noqa: SLF001
-            except Exception:
-                pass
+                orig = resource_tracker.register
+                resource_tracker.register = lambda *a, **k: None
+                try:
+                    shm = shared_memory.SharedMemory(name=name)
+                finally:
+                    resource_tracker.register = orig
             segments.append(shm)
             return np.ndarray(tuple(shape), dtype=np.dtype(dtype), buffer=shm.buf)
 

@@ -39,6 +39,12 @@ class Timer:
         """Advance the reference point without charging any segment."""
         self._last = time.monotonic()
 
+    def add(self, name: str, seconds: float) -> None:
+        """Charge externally measured time to a segment."""
+        self._totals[name] += seconds
+        self._counts[name] += 1
+        self._last = time.monotonic()
+
     def total(self, name: Optional[str] = None) -> float:
         if name is None:
             return time.monotonic() - self._start
