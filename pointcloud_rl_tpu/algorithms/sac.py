@@ -237,11 +237,19 @@ class SAC(BaseAgent):
         which matters on remote/tunneled devices where each program dispatch
         is a round trip."""
         batch_size = self.batch_size
+        batch_sharding = getattr(self, "_batch_sharding", None)
 
         @partial(jax.jit, donate_argnums=(0,))
         def step(state, storage, size, key):
             idx = jax.random.randint(key, (batch_size,), 0, size)
             batch = jax.tree_util.tree_map(lambda s: jnp.take(s, idx, axis=0), storage)
+            if batch_sharding is not None:
+                # Data-parallel mesh: pin the gathered batch onto the data
+                # axis so each device materializes only its rows and the
+                # update runs sharded with one grad all-reduce.
+                batch = jax.lax.with_sharding_constraint(
+                    batch, jax.tree_util.tree_map(lambda _: batch_sharding, batch)
+                )
             if self.use_episode_dones:
                 batch["dones"] = batch["episode_dones"]
             return self._packed_update(state, batch)
@@ -254,12 +262,17 @@ class SAC(BaseAgent):
         once per K updates instead of once per update — on a tunneled TPU the
         dispatch overhead otherwise rivals the compute."""
         batch_size = self.batch_size
+        batch_sharding = getattr(self, "_batch_sharding", None)
 
         @partial(jax.jit, static_argnames=("n",), donate_argnums=(0,))
         def step_n(state, storage, size, key, n):
             def body(carry, k):
                 idx = jax.random.randint(k, (batch_size,), 0, size)
                 batch = jax.tree_util.tree_map(lambda s: jnp.take(s, idx, axis=0), storage)
+                if batch_sharding is not None:
+                    batch = jax.lax.with_sharding_constraint(
+                        batch, jax.tree_util.tree_map(lambda _: batch_sharding, batch)
+                    )
                 if self.use_episode_dones:
                     batch["dones"] = batch["episode_dones"]
                 new_state, vec = self._packed_update(carry, batch)

@@ -156,7 +156,7 @@ def run(cfg: Config, work_dir: str, seed: int, args) -> None:
     # data-parallel mesh over (global) devices
     num_devices = args.num_devices or (len(args.gpu_ids) if args.gpu_ids else 1)
     if num_devices > 1:
-        setup_data_parallel(agent, num_devices)
+        setup_data_parallel(agent, num_devices, replay=replay)
         logger.info(f"Data-parallel mesh over {num_devices} devices")
 
     # resume (reference run_rl.py:177-214)
@@ -200,7 +200,7 @@ def run(cfg: Config, work_dir: str, seed: int, args) -> None:
             profile_steps=getattr(args, "profile", 0),
             **{k: v for k, v in train_cfg.items() if k in (
                 "total_steps", "warm_steps", "n_steps", "n_updates", "n_log",
-                "n_eval", "n_checkpoint", "on_policy", "save_replay",
+                "n_eval", "n_checkpoint", "on_policy", "save_replay", "ep_stats_cfg",
             )},
         )
     finally:

@@ -46,12 +46,22 @@ def train_rl(
     is_lead: bool = True,
     profile_steps: int = 0,
     save_replay: int = 0,
+    ep_stats_cfg: Optional[dict] = None,
 ) -> None:
     """``save_replay=N``: snapshot the N most recent replay transitions next
     to each checkpoint (models/replay_latest.h5) so auto-resume continues
     with a warm buffer instead of a cold one (the reference loses the
-    buffer on resume)."""
+    buffer on resume).
+
+    ``ep_stats_cfg`` configures EpisodicStatistics info-key reductions
+    (reference train_rl.py:148,190), e.g.
+    ``dict(info_keys_mode=dict(success=[True, "max", "all"]))`` to log
+    ManiSkill success rates as ``env/success_mean``."""
     logger = get_logger("pcrl")
+    if ep_stats_cfg and rollout is not None:
+        from ..utils.stats import EpisodicStatistics
+
+        rollout.episode_stats = EpisodicStatistics(rollout.num_envs, **ep_stats_cfg)
     profiler_active = False
     if profile_steps > 0:
         # Tracing subsystem (SURVEY §5.1): device + host trace of the first

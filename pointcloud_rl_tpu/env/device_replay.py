@@ -52,6 +52,7 @@ class DeviceReplayMemory:
         self.position = 0
         self.running_count = 0
         self.keys = keys
+        self.sharding = None  # set via place_on() under a data-parallel mesh
         self._key = jax.random.PRNGKey(seed if seed is not None else 0)
         # trajectory caching (full-episode mode) stays host-side
         from .replay import ReplayMemory
@@ -83,6 +84,18 @@ class DeviceReplayMemory:
             return jnp.zeros((self.capacity,) + x.shape[1:], x.dtype)
 
         self.storage = tree_map(_zeros, items)
+        if self.sharding is not None:
+            self.storage = jax.device_put(self.storage, self.sharding)
+
+    def place_on(self, sharding) -> None:
+        """Place storage (current and future allocations) on a mesh sharding.
+
+        Under data parallelism the storage is replicated so the fused
+        sample+update's gather stays device-local (see parallel/mesh.py).
+        """
+        self.sharding = sharding
+        if self.storage is not None:
+            self.storage = jax.device_put(self.storage, sharding)
 
     def push_batch(self, items: Dict[str, Any]) -> None:
         items = self._clean(items)

@@ -75,8 +75,9 @@ class Rollout:
             rewards = np.asarray(ret["rewards"]).reshape(-1)
             dones = np.asarray(ret["episode_dones"]).reshape(-1)
             widx = np.asarray(ret["worker_indices"]).reshape(-1)
-            for r, d, w in zip(rewards, dones, widx):
-                self.episode_stats.push_single(int(w), float(r), bool(d))
+            infos = ret.get("infos")
+            for j, (r, d, w) in enumerate(zip(rewards, dones, widx)):
+                self.episode_stats.push_single(int(w), float(r), bool(d), infos=infos, row=j)
             self.episode_stats.reset_current()  # random-path episodes ended by env resets
             self.timer.tick("simulation")
             return {"_stats": self._stats(num)}
@@ -104,7 +105,7 @@ class Rollout:
             self.timer.tick("simulation")
             if hasattr(pi, "reset_rnn_states") and trans["episode_dones"].any():
                 pi.reset_rnn_states(trans["episode_dones"])
-            self.episode_stats.push(trans["rewards"][:, 0], trans["episode_dones"][:, 0])
+            self.episode_stats.push(trans["rewards"][:, 0], trans["episode_dones"][:, 0], trans.get("infos"))
             if replay is not None:
                 replay.push_batch(trans)
             self.timer.tick("copy")
@@ -156,7 +157,8 @@ class Rollout:
             t_sim += _time.monotonic() - t0
             for rank, w in enumerate(idx):
                 self.episode_stats.push_single(
-                    int(w), float(trans["rewards"][rank, 0]), bool(trans["episode_dones"][rank, 0])
+                    int(w), float(trans["rewards"][rank, 0]), bool(trans["episode_dones"][rank, 0]),
+                    infos=trans.get("infos"), row=rank,
                 )
             if replay is not None:
                 # drop infos before concat (replays skip them; key sets can
@@ -243,7 +245,7 @@ class Rollout:
             self.timer.tick("simulation")
             if hasattr(pi, "reset_rnn_states") and trans["episode_dones"].any():
                 pi.reset_rnn_states(trans["episode_dones"])
-            self.episode_stats.push(trans["rewards"][:, 0], trans["episode_dones"][:, 0])
+            self.episode_stats.push(trans["rewards"][:, 0], trans["episode_dones"][:, 0], trans.get("infos"))
             pushed = replay.cache_trajectories(trans, max_push=num - total)
             total += pushed
             self.timer.tick("copy")

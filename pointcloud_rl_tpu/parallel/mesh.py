@@ -37,13 +37,29 @@ def data_parallel_shardings(mesh: Mesh, axis_name: str = "data"):
     return replicated, sharded
 
 
-def setup_data_parallel(agent, num_devices: int, axis_name: str = "data") -> Mesh:
+def setup_data_parallel(agent, num_devices: int, axis_name: str = "data", replay=None) -> Mesh:
     """Re-jit the agent's update with (replicated state, sharded batch).
 
     The update function itself is unchanged — replication + batch sharding
     make XLA emit an all-reduce for the gradients (mean over the global
     batch), which is exactly DDP's semantics with the all-reduce fused into
     the step instead of hooked onto backward.
+
+    Covers ALL update entry points, not just the host-batch path:
+    - the fused sample+update and its scanned variant over an HBM-resident
+      ``DeviceReplayMemory`` re-jit lazily against ``agent._batch_sharding``
+      (the gather output is sharding-constrained onto the data axis, so each
+      device gathers its rows from its local storage copy — no collectives in
+      the sample, one grad all-reduce in the step);
+    - act fns are dropped so they re-compile against the replicated state;
+    - ``replay`` (if an already-allocated DeviceReplayMemory) has its storage
+      placed on the mesh, and future allocations inherit the placement.
+
+    Storage is REPLICATED across the mesh: sampling stays a local gather and
+    the update is bit-identical to single-device (same indices, same math).
+    The memory cost (capacity x num_devices) is acceptable at reference scale
+    (100k steps of 1200x6 f32 clouds ~ 3 GB/chip); a capacity-sharded layout
+    would trade that for gather collectives.
     """
     mesh = make_mesh(num_devices, axis_name)
     replicated, sharded = data_parallel_shardings(mesh, axis_name)
@@ -54,6 +70,15 @@ def setup_data_parallel(agent, num_devices: int, axis_name: str = "data") -> Mes
         out_shardings=(replicated, replicated),
         donate_argnums=(0,),
     )
+    # Lazily-built storage paths pick the shardings up on next build.
+    agent._batch_sharding = sharded
+    agent._replicated_sharding = replicated
+    agent._storage_update_jit = None
+    if hasattr(agent, "_storage_scan_jit"):
+        agent._storage_scan_jit = None
+    agent._act_fns = {}
+    if replay is not None and hasattr(replay, "place_on"):
+        replay.place_on(replicated)
     agent.mesh = mesh
     agent.dp_size = num_devices
     return mesh

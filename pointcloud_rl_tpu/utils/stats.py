@@ -8,7 +8,8 @@ the parallel package, not here).
 
 from __future__ import annotations
 
-from typing import Dict, List, Optional
+from collections import defaultdict
+from typing import Any, Dict, List, Optional
 
 import numpy as np
 
@@ -96,69 +97,119 @@ class EpisodicStatistics:
     Mirrors reference pyrl/apis/train_rl.py:15-110: rewards accumulate per env
     worker; on episode done the totals are pushed into history; ``get_stats``
     reduces the history since the last ``reset_history``.
+
+    ``info_keys_mode`` adds configurable per-episode reductions over info-dict
+    scalars (reference train_rl.py:16-24,44-56): ``{key: [print, episode_op,
+    log_mode]}`` with ``episode_op`` in {sum, mean, min, max} applied across
+    the episode's steps and ``log_mode`` in {"all", "mean"} choosing whether
+    min/max also log.  This is how ManiSkill-style success rates reach the
+    training logs (``env/success_mean``).
     """
 
-    def __init__(self, num_workers: int):
+    def __init__(self, num_workers: int, info_keys_mode: Optional[Dict[str, list]] = None):
         self.num_workers = num_workers
+        self.info_keys_mode: Dict[str, list] = dict(info_keys_mode or {})
+        for key, item in self.info_keys_mode.items():
+            assert item[1] in ("mean", "min", "max", "sum"), f"bad episode op for {key}: {item[1]}"
+            assert item[2] in ("mean", "all"), f"bad log mode for {key}: {item[2]}"
         self.current_rewards = np.zeros(num_workers, np.float64)
         self.current_lens = np.zeros(num_workers, np.int64)
         self.current_max_reward = np.full(num_workers, -np.inf)
+        self.current_infos: List[Dict[str, float]] = [dict() for _ in range(num_workers)]
         self.history_rewards: List[float] = []
         self.history_lens: List[int] = []
+        self.history_infos: Dict[str, List[float]] = defaultdict(list)
         self.num_episodes = 0
 
-    def push(self, rewards: np.ndarray, episode_dones: np.ndarray) -> int:
+    def _accumulate_info(self, worker: int, infos: Optional[Dict[str, Any]], row: int) -> None:
+        if not self.info_keys_mode or not infos:
+            return
+        cur = self.current_infos[worker]
+        for key, (_, op, _) in self.info_keys_mode.items():
+            if key not in infos:
+                continue
+            v = float(np.asarray(infos[key][row]).reshape(-1)[0])
+            if op in ("sum", "mean"):
+                cur[key] = cur.get(key, 0.0) + v
+            elif op == "min":
+                cur[key] = min(cur.get(key, np.inf), v)
+            else:
+                cur[key] = max(cur.get(key, -np.inf), v)
+
+    def _finish_episode(self, worker: int) -> None:
+        self.history_rewards.append(float(self.current_rewards[worker]))
+        self.history_lens.append(int(self.current_lens[worker]))
+        cur = self.current_infos[worker]
+        for key, value in cur.items():
+            if self.info_keys_mode[key][1] == "mean":
+                value = value / max(int(self.current_lens[worker]), 1)
+            self.history_infos[key].append(value)
+        self.current_infos[worker] = dict()
+        self.current_rewards[worker] = 0
+        self.current_lens[worker] = 0
+        self.current_max_reward[worker] = -np.inf
+        self.num_episodes += 1
+
+    def push(self, rewards: np.ndarray, episode_dones: np.ndarray, infos: Optional[Dict[str, Any]] = None) -> int:
         """Accumulate one vec-env step; returns the number of episodes finished."""
         rewards = np.asarray(rewards).reshape(self.num_workers)
         dones = np.asarray(episode_dones).reshape(self.num_workers).astype(bool)
         self.current_rewards += rewards
         self.current_lens += 1
         self.current_max_reward = np.maximum(self.current_max_reward, rewards)
+        if self.info_keys_mode and infos:
+            for i in range(self.num_workers):
+                self._accumulate_info(i, infos, i)
         n_done = int(dones.sum())
         if n_done:
             for i in np.nonzero(dones)[0]:
-                self.history_rewards.append(float(self.current_rewards[i]))
-                self.history_lens.append(int(self.current_lens[i]))
-            self.current_rewards[dones] = 0
-            self.current_lens[dones] = 0
-            self.current_max_reward[dones] = -np.inf
-            self.num_episodes += n_done
+                self._finish_episode(int(i))
         return n_done
 
-    def push_single(self, worker: int, reward: float, episode_done: bool) -> int:
-        """Accumulate one transition for one worker (warm-up batches)."""
+    def push_single(self, worker: int, reward: float, episode_done: bool,
+                    infos: Optional[Dict[str, Any]] = None, row: int = 0) -> int:
+        """Accumulate one transition for one worker (warm-up/pipelined batches)."""
         self.current_rewards[worker] += reward
         self.current_lens[worker] += 1
         self.current_max_reward[worker] = max(self.current_max_reward[worker], reward)
+        self._accumulate_info(worker, infos, row)
         if episode_done:
-            self.history_rewards.append(float(self.current_rewards[worker]))
-            self.history_lens.append(int(self.current_lens[worker]))
-            self.current_rewards[worker] = 0
-            self.current_lens[worker] = 0
-            self.current_max_reward[worker] = -np.inf
-            self.num_episodes += 1
+            self._finish_episode(worker)
             return 1
         return 0
 
     def reset_history(self) -> None:
         self.history_rewards.clear()
         self.history_lens.clear()
+        self.history_infos.clear()
 
     def reset_current(self) -> None:
         self.current_rewards[:] = 0
         self.current_lens[:] = 0
         self.current_max_reward[:] = -np.inf
+        self.current_infos = [dict() for _ in range(self.num_workers)]
 
     def get_stats(self) -> Dict[str, float]:
         r = np.asarray(self.history_rewards if self.history_rewards else [0.0])
         l = np.asarray(self.history_lens if self.history_lens else [0])
-        return {
+        stats = {
             "env/rewards_mean": float(r.mean()),
             "env/rewards_min": float(r.min()),
             "env/rewards_max": float(r.max()),
             "env/episode_length": float(l.mean()),
             "env/num_episodes": float(len(self.history_rewards)),
         }
+        for key, (_, _, log_mode) in self.info_keys_mode.items():
+            vals = self.history_infos.get(key)
+            if not vals:
+                continue
+            v = np.asarray(vals, np.float64)
+            out_key = key if "/" in key else f"env/{key}"
+            stats[f"{out_key}_mean"] = float(v.mean())
+            if log_mode == "all":
+                stats[f"{out_key}_min"] = float(v.min())
+                stats[f"{out_key}_max"] = float(v.max())
+        return stats
 
 
 def split_num(total: int, parts: int) -> List[int]:

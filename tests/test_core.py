@@ -150,3 +150,26 @@ def test_episodic_statistics():
 def test_split_num():
     assert split_num(10, 3) == [4, 3, 3]
     assert sum(split_num(17, 5)) == 17
+
+
+def test_episodic_statistics_info_keys():
+    """Configurable info-key reductions (reference train_rl.py:16-24,44-56):
+    max-reduced success flags and mean-reduced distances reach get_stats."""
+    es = EpisodicStatistics(2, info_keys_mode={
+        "success": [True, "max", "all"],
+        "dist": [True, "mean", "mean"],
+    })
+    es.push(np.array([1.0, 2.0]), np.array([False, False]),
+            infos={"success": np.array([[0], [0]]), "dist": np.array([[2.0], [4.0]])})
+    es.push(np.array([1.0, 2.0]), np.array([True, True]),
+            infos={"success": np.array([[1], [0]]), "dist": np.array([[4.0], [6.0]])})
+    stats = es.get_stats()
+    assert stats["env/success_mean"] == 0.5
+    assert stats["env/success_min"] == 0.0 and stats["env/success_max"] == 1.0
+    assert stats["env/dist_mean"] == 4.0  # per-episode means 3.0 and 5.0
+    assert "env/dist_min" not in stats  # log_mode "mean" suppresses min/max
+    # push_single path (pipelined rollout) with row indexing
+    es.reset_history()
+    es.push_single(0, 1.0, False, infos={"success": np.array([[0], [1]])}, row=0)
+    es.push_single(0, 1.0, True, infos={"success": np.array([[1], [0]])}, row=0)
+    assert es.get_stats()["env/success_mean"] == 1.0
