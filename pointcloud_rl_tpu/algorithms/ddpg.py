@@ -90,12 +90,15 @@ class DDPG(SAC):
             q_target = rewards + (1.0 - batch["dones"].astype(jnp.float32)) * self.gamma * min_q_next
         return jax.lax.stop_gradient(q_target)
 
-    def _actor_alpha_step(self, params, actor_opt, log_alpha, alpha_opt, batch, rng, actor_obs=None):
+    def _actor_alpha_step(self, params, actor_opt, log_alpha, alpha_opt, batch, rng, actor_obs=None,
+                          saved_feat=None):
         model = self.model
         obs = batch["obs"] if actor_obs is None else actor_obs
+        reuse = saved_feat if (self.shared_backbone and self.detach_actor_feature) else None
 
         def loss_fn(p):
-            pi, feat = model.actor_apply(p, obs, mode="eval", detach_visual=self.detach_actor_feature)
+            pi, feat = model.actor_apply(p, obs, mode="eval", detach_visual=self.detach_actor_feature,
+                                         visual_feature=reuse)
             vf = jax.lax.stop_gradient(feat) if (self.shared_backbone and feat is not None) else None
             q_pi = model.critic_apply(p, obs, actions=pi, visual_feature=vf)
             # deterministic policy gradient on the FIRST head (TD3 convention)

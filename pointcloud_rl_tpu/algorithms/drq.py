@@ -85,19 +85,26 @@ class DrQ(SAC):
             critic_obs = _interleave_pairs(aug_obs, batch["obs"])
             critic_actions = jnp.repeat(batch["actions"], K + 1, axis=0)
 
-        params, critic_opt, critic_loss, q, critic_gnorm, abs_err = self._critic_step(
+        params, critic_opt, critic_loss, q, critic_gnorm, abs_err, saved_feat = self._critic_step(
             state.params, state.critic_opt, batch, q_target, critic_obs=critic_obs, critic_actions=critic_actions
         )
 
         # Actor obs: first augmented copy (drq.py:115), SVEA: original obs.
+        # The matching rows of the critic forward's saved visual features are
+        # sliced out so the actor can reuse them (reference
+        # saved_visual_feature): non-SVEA critic rows are [b0k0, b0k1, ...]
+        # so copy 0 is ::K; SVEA interleaves (aug, orig) so orig is 1::2.
         if self.svea:
             actor_obs = batch["obs"]
+            actor_feat = saved_feat[1::2] if saved_feat is not None else None
         else:
             actor_obs = jax.tree_util.tree_map(lambda x: x.reshape((B, K) + x.shape[1:])[:, 0], aug_obs)
+            actor_feat = saved_feat[::K] if saved_feat is not None else None
 
         def do_actor(operand):
             params, aopt, la, laopt = operand
-            out = self._actor_alpha_step(params, aopt, la, laopt, batch, k_pi, actor_obs=actor_obs)
+            out = self._actor_alpha_step(params, aopt, la, laopt, batch, k_pi, actor_obs=actor_obs,
+                                         saved_feat=actor_feat)
             (params, aopt, la, laopt, a_loss, al_loss, ent, a_g, qm) = out
             return params, aopt, la, laopt, (a_loss, al_loss, ent, a_g, qm, jnp.ones(()))
 

@@ -69,6 +69,7 @@ class SAC(BaseAgent):
         obs_rms: bool = False,
         seed: int = 0,
         metric_prefix: str = "sac",
+        bf16: bool = False,
     ):
         super().__init__()
         self.is_discrete = bool(env_params["is_discrete"])
@@ -112,7 +113,7 @@ class SAC(BaseAgent):
 
         self.model = build_actor_critic(
             actor_cfg, critic_cfg, env_params, shared_backbone=self.shared_backbone,
-            shared_target_backbone=shared_target_backbone,
+            shared_target_backbone=shared_target_backbone, bf16=bf16,
         )
         action_shape = env_params["action_shape"]
 
@@ -240,8 +241,12 @@ class SAC(BaseAgent):
         batch_sharding = getattr(self, "_batch_sharding", None)
 
         @partial(jax.jit, donate_argnums=(0,))
-        def step(state, storage, size, key):
-            idx = jax.random.randint(key, (batch_size,), 0, size)
+        def step(state, storage, size):
+            # Sampling key derives from the in-state rng (fold_in keeps it
+            # distinct from the keys _update_step splits off): no external
+            # key argument means no extra host->device transfer per
+            # dispatch — each one is a round trip on tunneled runtimes.
+            idx = jax.random.randint(jax.random.fold_in(state.rng, 0xFFFF), (batch_size,), 0, size)
             batch = jax.tree_util.tree_map(lambda s: jnp.take(s, idx, axis=0), storage)
             if batch_sharding is not None:
                 # Data-parallel mesh: pin the gathered batch onto the data
@@ -265,9 +270,11 @@ class SAC(BaseAgent):
         batch_sharding = getattr(self, "_batch_sharding", None)
 
         @partial(jax.jit, static_argnames=("n",), donate_argnums=(0,))
-        def step_n(state, storage, size, key, n):
-            def body(carry, k):
-                idx = jax.random.randint(k, (batch_size,), 0, size)
+        def step_n(state, storage, size, n):
+            def body(carry, _):
+                # per-iteration sampling key from the carried rng (which
+                # _update_step refreshes every iteration)
+                idx = jax.random.randint(jax.random.fold_in(carry.rng, 0xFFFF), (batch_size,), 0, size)
                 batch = jax.tree_util.tree_map(lambda s: jnp.take(s, idx, axis=0), storage)
                 if batch_sharding is not None:
                     batch = jax.lax.with_sharding_constraint(
@@ -278,8 +285,7 @@ class SAC(BaseAgent):
                 new_state, vec = self._packed_update(carry, batch)
                 return new_state, vec
 
-            keys = jax.random.split(key, n)
-            state, vecs = jax.lax.scan(body, state, keys)
+            state, vecs = jax.lax.scan(body, state, None, length=n)
             return state, vecs.sum(axis=0)
 
         return step_n
@@ -298,9 +304,8 @@ class SAC(BaseAgent):
             return vec
         if getattr(self, "_storage_scan_jit", None) is None:
             self._storage_scan_jit = self._build_storage_update_scan()
-        memory._key, sub = jax.random.split(memory._key)
         self.train_state, vec_sum = self._storage_scan_jit(
-            self.train_state, memory.storage, jnp.asarray(len(memory), jnp.int32), sub, n
+            self.train_state, memory.storage, memory.device_size, n
         )
         self._inflight = getattr(self, "_inflight", 0) + 1
         if self._inflight >= 16:
@@ -317,9 +322,8 @@ class SAC(BaseAgent):
         if isinstance(memory, DeviceReplayMemory) and not self.model.is_recurrent and self.obs_rms is None:
             if self._storage_update_jit is None:
                 self._storage_update_jit = self._build_storage_update()
-            memory._key, sub = jax.random.split(memory._key)
             self.train_state, metric_vec = self._storage_update_jit(
-                self.train_state, memory.storage, jnp.asarray(len(memory), jnp.int32), sub
+                self.train_state, memory.storage, memory.device_size
             )
             self._inflight = getattr(self, "_inflight", 0) + 1
             if self._inflight >= 16:
@@ -405,25 +409,35 @@ class SAC(BaseAgent):
         actions = batch["actions"] if critic_actions is None else critic_actions
 
         def loss_fn(p):
-            q = model.critic_apply(p, obs, actions=actions)  # [B, num_q]
+            # return_feature: the critic forward's visual feature is reused
+            # by the actor step (reference saved_visual_feature,
+            # sac.py:166-176) — the actor never re-encodes the clouds.
+            q, feat = model.critic_apply(p, obs, actions=actions, return_feature=True)  # [B, num_q]
             loss = jnp.mean((q - q_target) ** 2) * model.num_q
-            return loss, q
+            return loss, (q, feat)
 
-        (loss, q), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        (loss, (q, feat)), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
         upd, critic_opt = self.critic_tx.update(grads, critic_opt, params)
         params = jax.tree_util.tree_map(lambda p, u: p + u, params, upd)
         gnorm = global_grad_norm(grads, mask_keys={"critic", "visual", "critic_visual"} if self.shared_backbone else {"critic", "critic_visual"})
         err = jnp.abs(q - q_target).max()
-        return params, critic_opt, loss, q, gnorm, err
+        saved_feat = jax.lax.stop_gradient(feat) if feat is not None else None
+        return params, critic_opt, loss, q, gnorm, err, saved_feat
 
-    def _actor_alpha_step(self, params, actor_opt, log_alpha, alpha_opt, batch, rng, actor_obs=None):
+    def _actor_alpha_step(self, params, actor_opt, log_alpha, alpha_opt, batch, rng, actor_obs=None,
+                          saved_feat=None):
         model = self.model
         obs = batch["obs"] if actor_obs is None else actor_obs
         alpha = jax.lax.stop_gradient(jnp.exp(log_alpha))
+        # Reuse the critic forward's (pre-critic-step) visual features when
+        # the actor would detach them anyway — reference semantics AND one
+        # full visual encode saved per actor update.
+        reuse = saved_feat if (self.shared_backbone and self.detach_actor_feature) else None
 
         def loss_fn(p):
             (pi, neg_logp), feat = model.actor_apply(
-                p, obs, mode="max-entropy", rng=rng, detach_visual=self.detach_actor_feature
+                p, obs, mode="max-entropy", rng=rng, detach_visual=self.detach_actor_feature,
+                visual_feature=reuse,
             )
             entropy_term = neg_logp.mean()
             q_match = jnp.zeros(())
@@ -580,13 +594,13 @@ class SAC(BaseAgent):
             batch["obs"] = self.obs_processor(k_pre, batch["obs"])
             batch["next_obs"] = self.obs_processor(jax.random.fold_in(k_pre, 1), batch["next_obs"])
         q_target = self._compute_q_target(state.params, state.target_params, state.log_alpha, batch, k_next)
-        params, critic_opt, critic_loss, q, critic_gnorm, abs_err = self._critic_step(
+        params, critic_opt, critic_loss, q, critic_gnorm, abs_err, saved_feat = self._critic_step(
             state.params, state.critic_opt, batch, q_target
         )
 
         def do_actor(operand):
             params, aopt, la, laopt = operand
-            out = self._actor_alpha_step(params, aopt, la, laopt, batch, k_pi)
+            out = self._actor_alpha_step(params, aopt, la, laopt, batch, k_pi, saved_feat=saved_feat)
             (params, aopt, la, laopt, a_loss, al_loss, ent, a_g, qm) = out
             return params, aopt, la, laopt, (a_loss, al_loss, ent, a_g, qm, jnp.ones(()))
 

@@ -65,6 +65,21 @@ class DeviceReplayMemory:
         return min(self.running_count, self.capacity)
 
     @property
+    def device_size(self):
+        """len(self) as a cached DEVICE scalar: uploading the size on every
+        fused-update dispatch costs a host->device round trip on tunneled
+        runtimes (~tens of ms); the cache refreshes only when the size
+        changes (it stops changing once the ring is full)."""
+        size = len(self)
+        if getattr(self, "_size_cache_val", None) != size:
+            arr = jnp.asarray(size, jnp.int32)
+            if self.sharding is not None:
+                arr = jax.device_put(arr, self.sharding)
+            self._size_cache = arr
+            self._size_cache_val = size
+        return self._size_cache
+
+    @property
     def size(self) -> int:
         return len(self)
 
@@ -129,7 +144,7 @@ class DeviceReplayMemory:
         """Returns a batch of DEVICE arrays (no host round trip)."""
         assert len(self) > 0, "Cannot sample from an empty buffer"
         self._key, sub = jax.random.split(self._key)
-        return _gather(self.storage, sub, jnp.asarray(len(self), jnp.int32), batch_size)
+        return _gather(self.storage, sub, self.device_size, batch_size)
 
     def tail(self, num: int) -> Dict[str, Any]:
         num = min(num, len(self))

@@ -89,6 +89,15 @@ class DMCEnv(Env):
         # shading relative to the reference's default renderer. Set
         # fast_render=False for exact visual parity.
         self.fast_render = bool(fast_render)
+        if self.fast_render:
+            # Offscreen MSAA (MuJoCo default offsamples=4) rasterizes 4
+            # samples/pixel — ~2x the whole env-step cost on software GL —
+            # and the resolve AVERAGES depth across samples, planting
+            # phantom points between foreground and background at
+            # silhouettes.  Single-sample is both faster and geometrically
+            # correct for depth->pointcloud.  Must run before the first
+            # render (the GL context bakes the sample count in).
+            env.physics.model.vis.quality.offsamples = 0
 
         spec = env.action_spec()
         self.min_action = np.float32(spec.minimum)

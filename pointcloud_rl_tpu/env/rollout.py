@@ -58,12 +58,20 @@ class Rollout:
     def random_action(self):
         return self.vec_env.random_actions()
 
-    def forward_with_policy(self, pi, num: int, replay=None, on_policy: bool = False) -> Dict[str, Any]:
+    def forward_with_policy(self, pi, num: int, replay=None, on_policy: bool = False,
+                            update_hook=None) -> Dict[str, Any]:
         """Collect ``num`` env steps; push transitions into ``replay``.
 
         pi=None -> uniform random actions built in-env (warm-up,
         reference rollout.py:54-65).  Returns the last collected batch dict
         plus timing info under "_stats".
+
+        ``update_hook`` (pipelined path only): called once after each group
+        completes a step — the training loop uses it to DISPATCH gradient
+        updates mid-collection, so update programs interleave with the act
+        programs in the device queue instead of serializing after the whole
+        collection (the device is otherwise idle while env workers
+        simulate).
         """
         self.timer.reset()
         if pi is None:
@@ -94,7 +102,7 @@ class Rollout:
             and not getattr(getattr(pi, "model", None), "is_recurrent", False)
         )
         if can_pipeline:
-            return self._forward_pipelined(pi, num, replay)
+            return self._forward_pipelined(pi, num, replay, update_hook=update_hook)
         steps = num // self.num_envs
         last = None
         for _ in range(steps):
@@ -115,7 +123,7 @@ class Rollout:
             last["_stats"] = self._stats(num)
         return last
 
-    def _forward_pipelined(self, pi, num: int, replay) -> Dict[str, Any]:
+    def _forward_pipelined(self, pi, num: int, replay, update_hook=None) -> Dict[str, Any]:
         """Grouped pipelined collection (reference rollout.py:144-181
         step_async + partial_forward, redesigned for a remote accelerator).
 
@@ -184,6 +192,10 @@ class Rollout:
                     t_agent += _time.monotonic() - t0
                     self.vec_env.step_dict_async(actions, idx=idx)
                     state[g] = SIMULATING
+                    # this group's next act is maximally far away: the best
+                    # moment to slot gradient-update programs into the queue
+                    if update_hook is not None:
+                        update_hook()
                     progress = True
                 elif state[g] == SIMULATING and _finish(g, idx, block=False):
                     progress = True
@@ -198,6 +210,8 @@ class Rollout:
                     t_agent += _time.monotonic() - t0
                     self.vec_env.step_dict_async(actions, idx=groups[g])
                     state[g] = SIMULATING
+                    if update_hook is not None:
+                        update_hook()
                 else:
                     sim = [g for g in range(len(groups)) if state[g] == SIMULATING]
                     assert sim, "pipeline stalled with no pending work"

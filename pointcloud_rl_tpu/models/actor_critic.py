@@ -279,32 +279,42 @@ class ActorCriticModel:
         return out, feat
 
     def _critic_heads(self, critic_params, visual_params_src, obs, actions, visual_feature,
-                      seq: bool = False, episode_dones=None):
-        x, _, _ = self._features(visual_params_src, obs, "critic", seq, visual_feature,
-                                 episode_dones=episode_dones)
+                      seq: bool = False, episode_dones=None, return_feature: bool = False):
+        x, feat, _ = self._features(visual_params_src, obs, "critic", seq, visual_feature,
+                                    episode_dones=episode_dones)
         if self.share_feature and self.num_q > 1 and self.average_grad:
             x = scale_gradient(x, 1.0 / self.num_q)
         if actions is not None and not self.is_discrete:
             x = jnp.concatenate([x, actions], axis=-1)
-        return self.critic.apply({"params": critic_params}, x)  # [..., H, out]
+        q = self.critic.apply({"params": critic_params}, x)  # [..., H, out]
+        return (q, feat) if return_feature else q
 
     def critic_apply(self, params, obs, actions=None, actions_prob=None, visual_feature=None,
-                     detach_value: bool = False, seq: bool = False, episode_dones=None):
+                     detach_value: bool = False, seq: bool = False, episode_dones=None,
+                     return_feature: bool = False):
         """Q-values. Continuous: [B, num_q]. Discrete: gathers/avgs over actions
-        (DiscreteCritic semantics, actor_critic.py:137-162)."""
+        (DiscreteCritic semantics, actor_critic.py:137-162).
+
+        ``return_feature=True`` additionally returns the visual feature from
+        the forward (the reference's ``saved_visual_feature``,
+        visuomotor.py:127-135) so the actor step can reuse it instead of
+        re-encoding."""
         q = self._critic_heads(params["critic"], params, obs, actions, visual_feature,
-                               seq=seq, episode_dones=episode_dones)
+                               seq=seq, episode_dones=episode_dones, return_feature=return_feature)
+        feat = None
+        if return_feature:
+            q, feat = q
         if detach_value:
             q = jax.lax.stop_gradient(q)
         if not self.is_discrete:
-            return q[..., 0]  # [B, num_q]
-        # q: [B, num_q, num_choices]
-        if actions_prob is not None:
-            return (q * actions_prob[..., None, :]).sum(-1)  # V = sum pi*Q -> [B, num_q]
-        if actions is not None:
+            q = q[..., 0]  # [B, num_q]
+        elif actions_prob is not None:
+            q = (q * actions_prob[..., None, :]).sum(-1)  # V = sum pi*Q -> [B, num_q]
+        elif actions is not None:
             idx = jnp.broadcast_to(actions.astype(jnp.int32), q.shape[:-1])[..., None]
-            return jnp.take_along_axis(q, idx, axis=-1)[..., 0]  # [B, num_q]
-        return q  # raw Q-table [B, num_q, num_choices]
+            q = jnp.take_along_axis(q, idx, axis=-1)[..., 0]  # [B, num_q]
+        # else: raw Q-table [B, num_q, num_choices]
+        return (q, feat) if return_feature else q
 
     def target_actor_apply(self, params, target_params, obs, mode: str = "eval", rng=None, seq: bool = False):
         """Actor forward through target-owned subtrees (target policy network,

@@ -66,14 +66,31 @@ def norm_kind_and_eps(norm_cfg) -> Tuple[Optional[str], float]:
     raise KeyError(f"Unknown norm type {kind}")
 
 
+def resolve_dtype(dtype):
+    """Accept None / "bfloat16" / "float32" / jnp dtypes (configs carry
+    strings).  None means f32 (flax default promotion)."""
+    if dtype is None or dtype == "float32":
+        return None
+    if dtype == "bfloat16":
+        return jnp.bfloat16
+    return dtype
+
+
 class DenseBlock(nn.Module):
-    """Dense -> [LayerNorm] -> [activation], channel-last."""
+    """Dense -> [LayerNorm] -> [activation], channel-last.
+
+    ``dtype`` is the MATMUL compute dtype (mixed precision): params stay
+    f32 (flax param_dtype default), the Dense computes in bf16 on the MXU,
+    and LayerNorm statistics/outputs are pinned to f32 — the reference's
+    numerics live in the norm and the losses, the FLOPs live in the matmul.
+    """
 
     out_channels: int
     norm: Optional[str] = "LN"
     norm_eps: float = 1e-5
     act: Optional[str] = "ReLU"
     use_bias: bool = True
+    dtype: Optional[Any] = None
 
     @nn.compact
     def __call__(self, x):
@@ -83,9 +100,10 @@ class DenseBlock(nn.Module):
             use_bias=self.use_bias,
             kernel_init=torch_default_kernel_init,
             bias_init=make_torch_bias_init(fan_in),
+            dtype=resolve_dtype(self.dtype),
         )(x)
         if self.norm == "LN":
-            x = nn.LayerNorm(epsilon=self.norm_eps)(x)
+            x = nn.LayerNorm(epsilon=self.norm_eps, dtype=jnp.float32)(x)
         act = get_activation(self.act)
         if act is not None:
             x = act(x)
@@ -111,6 +129,7 @@ class MLP(nn.Module):
     ignore_first_ln: bool = False
     zero_out_indices: Optional[Any] = None
     block_type: str = "Linear"  # accepted for config parity; no behavioral difference
+    dtype: Optional[Any] = None  # matmul compute dtype (mixed precision)
 
     @nn.compact
     def __call__(self, x, actions=None):
@@ -119,6 +138,7 @@ class MLP(nn.Module):
         spec = list(self.mlp_spec)
         assert x.shape[-1] == spec[0], f"MLP input dim {x.shape[-1]} != spec[0] {spec[0]}"
         norm_kind, eps = norm_kind_and_eps(self.norm_cfg)
+        cdtype = resolve_dtype(self.dtype)
         n_layers = len(spec) - 1
         for i in range(n_layers):
             is_last = i == n_layers - 1
@@ -140,20 +160,23 @@ class MLP(nn.Module):
                     small = jax.random.uniform(key, shape, dtype, -1e-3, 1e-3)
                     return b.at[_z].set(small[_z])
 
-                x = nn.Dense(spec[i + 1], use_bias=use_bias, kernel_init=kinit, bias_init=binit)(x)
+                x = nn.Dense(spec[i + 1], use_bias=use_bias, kernel_init=kinit, bias_init=binit,
+                             dtype=cdtype)(x)
             else:
                 x = nn.Dense(
                     spec[i + 1],
                     use_bias=use_bias,
                     kernel_init=torch_default_kernel_init,
                     bias_init=make_torch_bias_init(spec[i]),
+                    dtype=cdtype,
                 )(x)
             if norm_i == "LN":
-                x = nn.LayerNorm(epsilon=eps)(x)
+                x = nn.LayerNorm(epsilon=eps, dtype=jnp.float32)(x)
             act = get_activation(act_i)
             if act is not None:
                 x = act(x)
-        return x
+        # Heads/losses stay f32: cast the (possibly bf16) last-layer output up.
+        return x.astype(jnp.float32) if cdtype is not None else x
 
 
 @NETWORK.register_module()

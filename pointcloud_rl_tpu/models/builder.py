@@ -18,7 +18,17 @@ from . import build_all
 from .actor_critic import ActorCriticModel, ActorHead, CriticEnsemble
 
 _MLP_TYPES = ("MLP", "LinearMLP", "ConvMLP")
-_MLP_FIELDS = ("mlp_spec", "norm_cfg", "act_cfg", "bias", "inactivated_output", "ignore_first_ln", "zero_out_indices")
+_MLP_FIELDS = ("mlp_spec", "norm_cfg", "act_cfg", "bias", "inactivated_output", "ignore_first_ln", "zero_out_indices", "dtype")
+# Module types whose dataclass takes a mixed-precision compute dtype.
+_DTYPE_TYPES = _MLP_TYPES + ("PointNet",)
+
+
+def _inject_dtype(cfg: Optional[dict], dtype: str) -> Optional[dict]:
+    """Opt a sub-network into the bf16 matmul path if its type supports it."""
+    if cfg is not None and cfg.get("type") in _DTYPE_TYPES:
+        cfg = dict(cfg)
+        cfg.setdefault("dtype", dtype)
+    return cfg
 
 
 def _mlp_kwargs(cfg: Optional[dict]) -> Optional[dict]:
@@ -75,8 +85,14 @@ def build_actor_critic(
     env_params: dict,
     shared_backbone: bool = False,
     shared_target_backbone: Optional[bool] = None,
+    bf16: bool = False,
 ) -> ActorCriticModel:
-    """Build module defs; parameters are created later by ``init_params``."""
+    """Build module defs; parameters are created later by ``init_params``.
+
+    ``bf16=True`` runs every supporting sub-network's matmuls in bfloat16
+    on the MXU (params, LayerNorm, heads, and losses stay f32) — roughly
+    2x matmul throughput on TPU for a bounded numerics drift.
+    """
     actor_cfg, critic_cfg = deepcopy(dict(actor_cfg)), deepcopy(dict(critic_cfg))
     is_discrete = bool(env_params.get("is_discrete", False))
     action_shape = env_params.get("action_shape")
@@ -95,6 +111,9 @@ def build_actor_critic(
     rnn_cfg = dict(actor_nn_cfg).get("rnn_cfg")
     rnn = build_all(rnn_cfg) if rnn_cfg else None
     actor_visual_cfg, actor_mlp_cfg = _split_nn_cfg(actor_cfg.get("nn_cfg"))
+    if bf16:
+        actor_visual_cfg = _inject_dtype(actor_visual_cfg, "bfloat16")
+        actor_mlp_cfg = _inject_dtype(actor_mlp_cfg, "bfloat16")
     head_cfg = _head_cfg_with_bound(actor_cfg.get("head_cfg"), action_space if not is_discrete else None)
     if head_cfg is not None:
         if is_discrete or "Discrete" in str(actor_type):
@@ -113,6 +132,9 @@ def build_actor_critic(
 
     # ---- critic -------------------------------------------------------
     critic_visual_cfg, critic_mlp_cfg = _split_nn_cfg(critic_cfg.get("nn_cfg"))
+    if bf16:
+        critic_visual_cfg = _inject_dtype(critic_visual_cfg, "bfloat16")
+        critic_mlp_cfg = _inject_dtype(critic_mlp_cfg, "bfloat16")
     critic_visual = None
     if not shared_backbone and critic_visual_cfg is not None:
         critic_visual = build_all(critic_visual_cfg)

@@ -104,6 +104,7 @@ class PointNet(nn.Module):
     ignore_first_ln: bool = False
     num_patch: int = 1  # config parity; unused
     fused: bool = False  # Pallas fused body (ops/pointnet_fused.py)
+    dtype: Optional[Any] = None  # matmul compute dtype (mixed precision)
 
     def _fused_supported(self) -> bool:
         return (
@@ -155,14 +156,18 @@ class PointNet(nn.Module):
             self.conv2 = MLP(spec, norm_cfg=norm, act_cfg=self.act_cfg, inactivated_output=False)
         else:
             self.conv = MLP([self.feat_dim] + spec, norm_cfg=norm, act_cfg=self.act_cfg,
-                            inactivated_output=False, ignore_first_ln=self.ignore_first_ln)
+                            inactivated_output=False, ignore_first_ln=self.ignore_first_ln,
+                            dtype=self.dtype)
         if self.out_channels is not None:
+            from .blocks import resolve_dtype
+
             self.final_dense = nn.Dense(
                 self.out_channels,
                 kernel_init=torch_default_kernel_init,
                 bias_init=make_torch_bias_init(list(self.mlp_spec)[-1]),
+                dtype=resolve_dtype(self.dtype),
             )
-            self.final_ln = nn.LayerNorm()
+            self.final_ln = nn.LayerNorm(dtype=jnp.float32)
 
     def __call__(self, obs, **kwargs):
         feature = preprocess_pointcloud(obs)  # [B, N, C]

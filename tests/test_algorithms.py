@@ -295,3 +295,37 @@ def test_ddpg_learns_bandit():
     # exploration noise perturbs actions
     a_explore = agent.forward(obs, mode="explore")
     assert not np.allclose(actions, a_explore)
+
+
+def test_bf16_update_tracks_f32():
+    """Mixed precision (bf16 matmuls, f32 LN/params/losses): per-update
+    numerics drift vs the f32 path stays bounded and params remain f32."""
+    import jax
+
+    from __graft_entry__ import _agent_cfg, _example_batch
+    from pointcloud_rl_tpu.env import DeviceReplayMemory
+
+    def run(bf16):
+        cfg = _agent_cfg(96, 4, width=16, out=16)
+        cfg["bf16"] = bf16
+        agent = build_agent(cfg)
+        mem = DeviceReplayMemory(capacity=64, seed=1)
+        mem.push_batch(_example_batch(64, 96, 4, seed=2))
+        metrics = [agent.update_parameters(mem, i) for i in range(3)]
+        return agent, metrics
+
+    agent_f32, m32 = run(False)
+    agent_b16, m16 = run(True)
+    for a, b in zip(m32, m16):
+        assert abs(a["sac/critic_loss"] - b["sac/critic_loss"]) < 5e-2 * (1 + abs(a["sac/critic_loss"]))
+    # params stay f32 under mixed precision, and the divergence stays within
+    # the Adam step envelope: |update| <= ~lr per step, so even where bf16
+    # rounding flips a gradient sign the two runs differ by at most
+    # 2 * lr * n_updates per element (slack 2x for bias correction).
+    leaves16 = jax.tree_util.tree_leaves(jax.device_get(agent_b16.train_state.params))
+    leaves32 = jax.tree_util.tree_leaves(jax.device_get(agent_f32.train_state.params))
+    assert all(l.dtype == np.float32 for l in leaves16)
+    lr, n_updates = 1e-3, 3
+    bound = 2 * 2 * lr * n_updates
+    worst = max(float(np.max(np.abs(a - b))) for a, b in zip(leaves32, leaves16))
+    assert worst < bound, f"bf16 drift outside the Adam step envelope: {worst} >= {bound}"
