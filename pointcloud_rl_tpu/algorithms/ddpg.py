@@ -94,7 +94,10 @@ class DDPG(SAC):
                           saved_feat=None):
         model = self.model
         obs = batch["obs"] if actor_obs is None else actor_obs
-        reuse = saved_feat if (self.shared_backbone and self.detach_actor_feature) else None
+        reuse = saved_feat if (
+            self.shared_backbone and self.detach_actor_feature
+            and getattr(self, "stale_actor_feature", True)
+        ) else None
 
         def loss_fn(p):
             pi, feat = model.actor_apply(p, obs, mode="eval", detach_visual=self.detach_actor_feature,

@@ -69,18 +69,16 @@ class DrQ(SAC):
                 "dones": jnp.repeat(batch["dones"], K, axis=0),
             }
             # NOTE: reference DrQ omits reward_scale in the target (drq.py:79-81).
-            saved_scale, self.reward_scale = self.reward_scale, 1.0
-            q_target = self._compute_q_target(state.params, state.target_params, state.log_alpha, target_batch, k_next)
-            self.reward_scale = saved_scale
+            q_target = self._compute_q_target(state.params, state.target_params, state.log_alpha,
+                                              target_batch, k_next, reward_scale=1.0)
             q_target = q_target.reshape(B, K).mean(axis=1, keepdims=True)  # avg over augs (drq.py:84)
             q_target = jnp.repeat(q_target, K, axis=0)  # back to [B*K, 1]
             critic_obs = aug_obs
             critic_actions = jnp.repeat(batch["actions"], K, axis=0)
         else:
             target_batch = {"next_obs": batch["next_obs"], "rewards": batch["rewards"], "dones": batch["dones"]}
-            saved_scale, self.reward_scale = self.reward_scale, 1.0
-            q_target = self._compute_q_target(state.params, state.target_params, state.log_alpha, target_batch, k_next)
-            self.reward_scale = saved_scale
+            q_target = self._compute_q_target(state.params, state.target_params, state.log_alpha,
+                                              target_batch, k_next, reward_scale=1.0)
             q_target = jnp.repeat(q_target, K + 1, axis=0)  # [B*(K+1), 1]
             critic_obs = _interleave_pairs(aug_obs, batch["obs"])
             critic_actions = jnp.repeat(batch["actions"], K + 1, axis=0)

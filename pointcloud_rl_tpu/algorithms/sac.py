@@ -70,6 +70,7 @@ class SAC(BaseAgent):
         seed: int = 0,
         metric_prefix: str = "sac",
         bf16: bool = False,
+        stale_actor_feature: bool = True,
     ):
         super().__init__()
         self.is_discrete = bool(env_params["is_discrete"])
@@ -83,6 +84,14 @@ class SAC(BaseAgent):
         self.automatic_alpha_tuning = bool(automatic_alpha_tuning)
         self.shared_backbone = bool(shared_backbone)
         self.detach_actor_feature = bool(detach_actor_feature)
+        # Perf/parity trade (documented deviation): the reference actor
+        # RE-ENCODES observations under post-critic-step params and reuses
+        # its own features for q_pi (sac.py:163-182).  With
+        # stale_actor_feature=True (default) the actor instead reuses the
+        # CRITIC forward's features — one Adam step staler, one full visual
+        # encode cheaper per actor update.  Set False for exact reference
+        # ordering (golden-parity tests do).
+        self.stale_actor_feature = bool(stale_actor_feature)
         self.metric_prefix = metric_prefix
         self.obs_processor = build_data_augmentations(pre_process)
         # Optional host-side observation normalization (reference
@@ -384,8 +393,13 @@ class SAC(BaseAgent):
         return metrics
 
     # -------------------------------------------------- the jitted core
-    def _compute_q_target(self, params, target_params, log_alpha, batch, rng):
-        """Entropy-regularized min-over-heads bootstrap target (sac.py:110-134)."""
+    def _compute_q_target(self, params, target_params, log_alpha, batch, rng,
+                          reward_scale: Optional[float] = None):
+        """Entropy-regularized min-over-heads bootstrap target (sac.py:110-134).
+
+        ``reward_scale`` overrides the agent default (DrQ's target omits it,
+        reference drq.py:79-81) — an explicit argument, not trace-time
+        attribute mutation, so re-tracing can never capture the wrong value."""
         model = self.model
         alpha = jnp.exp(log_alpha)
         if self.is_discrete:
@@ -396,7 +410,7 @@ class SAC(BaseAgent):
             (next_actions, neg_logp), _ = model.actor_apply(params, batch["next_obs"], mode="max-entropy", rng=rng)
             q_next = model.target_critic_apply(params, target_params, batch["next_obs"], actions=next_actions)
         min_q_next = q_next.min(axis=-1, keepdims=True) + alpha * neg_logp
-        rewards = batch["rewards"] * self.reward_scale
+        rewards = batch["rewards"] * (self.reward_scale if reward_scale is None else reward_scale)
         if self.ignore_dones:
             q_target = rewards + self.gamma * min_q_next
         else:
@@ -430,9 +444,11 @@ class SAC(BaseAgent):
         obs = batch["obs"] if actor_obs is None else actor_obs
         alpha = jax.lax.stop_gradient(jnp.exp(log_alpha))
         # Reuse the critic forward's (pre-critic-step) visual features when
-        # the actor would detach them anyway — reference semantics AND one
-        # full visual encode saved per actor update.
-        reuse = saved_feat if (self.shared_backbone and self.detach_actor_feature) else None
+        # the actor would detach them anyway — one full visual encode saved
+        # per actor update (see stale_actor_feature in __init__).
+        reuse = saved_feat if (
+            self.shared_backbone and self.detach_actor_feature and self.stale_actor_feature
+        ) else None
 
         def loss_fn(p):
             (pi, neg_logp), feat = model.actor_apply(

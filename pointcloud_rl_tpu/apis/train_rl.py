@@ -108,21 +108,62 @@ def train_rl(
             if rollout is not None:
                 rollout.episode_stats.reset_current()
 
+        # Interleaved dispatch: with a pipelined rollout and an HBM-resident
+        # replay, gradient-update scans are dispatched DURING collection
+        # (right after a worker group's actions ship), so update programs
+        # fill the device queue while hosts simulate.  Updates in a cycle
+        # sample the buffer as of the previous cycle (the pipelined rollout
+        # pushes once at the end) — one-cycle staleness for full overlap.
+        updates_dispatched = 0
+        update_hook = None
+        if (
+            n_steps > 0 and n_updates > 1 and rollout is not None and replay is not None
+            and hasattr(agent, "update_parameters_scan")
+            and getattr(rollout, "pipeline_groups", 1) > 1
+            and type(replay).__name__ == "DeviceReplayMemory" and len(replay) > 0
+            and n_steps % rollout.num_envs == 0
+        ):
+            events = max((n_steps // rollout.num_envs) * rollout.pipeline_groups, 1)
+            chunk = max(1, n_updates // events)
+            hook_state = {"t": 0.0}
+
+            def update_hook():
+                nonlocal lazy_vec_sum, lazy_count, total_updates, updates_dispatched
+                if updates_dispatched + chunk > n_updates:
+                    return
+                t0 = time.monotonic()
+                vec = agent.update_parameters_scan(replay, chunk)
+                hook_state["t"] += time.monotonic() - t0
+                lazy_vec_sum = vec if lazy_vec_sum is None else lazy_vec_sum + vec
+                lazy_count += chunk
+                total_updates += chunk
+                updates_dispatched += chunk
+
         if n_steps > 0 and rollout is not None:
             agent.eval()
-            out = rollout.forward_with_policy(agent, n_steps, replay)
+            out = rollout.forward_with_policy(agent, n_steps, replay, update_hook=update_hook)
             steps += n_steps
             if out and "_stats" in out:
                 for k, v in out["_stats"].items():
                     if k.endswith("_time"):
                         time_sums[k] += v
             time_sums["collect_sample_time"] += time.monotonic() - iter_t0
+            if update_hook is not None:
+                time_sums["collect_sample_time"] -= hook_state["t"]
+                time_sums["update_time"] += hook_state["t"]
         else:
             steps += 1  # offline mode progresses by update counting
 
+        n_updates_left = n_updates - updates_dispatched
         update_t0 = time.monotonic()
         agent.train()
-        if hasattr(agent, "update_parameters_scan") and n_updates > 1:
+        if update_hook is not None:
+            if n_updates_left > 0:  # flush the remainder the hook didn't cover
+                vec = agent.update_parameters_scan(replay, n_updates_left)
+                lazy_vec_sum = vec if lazy_vec_sum is None else lazy_vec_sum + vec
+                lazy_count += n_updates_left
+                total_updates += n_updates_left
+        elif hasattr(agent, "update_parameters_scan") and n_updates > 1:
             # All n_updates gradient steps in ONE dispatched device program
             # (lax.scan over the fused sample+update) — one round trip per
             # iteration instead of one per update on remote devices.

@@ -53,3 +53,28 @@ def test_full_episode_rollout():
         assert not dones.reshape(-1, 4)[:, :-1].any()
     finally:
         ro.close()
+
+
+def test_train_loop_interleaved_updates(tmp_path):
+    """Pipelined rollout + DeviceReplayMemory + n_updates>1: the training
+    loop dispatches update scans mid-collection (update_hook path) and the
+    accounting (grad steps, logs, checkpoints) stays exact."""
+    from pointcloud_rl_tpu.algorithms import build_agent
+    from pointcloud_rl_tpu.apis.train_rl import train_rl
+    from pointcloud_rl_tpu.env import DeviceReplayMemory, Rollout
+
+    from tests.test_algorithms import _state_agent_cfg
+
+    env_cfg = dict(type="gym", env_name="reacher3d_easy-v0", obs_mode="state")
+    rollout = Rollout(env_cfg=env_cfg, num_procs=4, base_seed=0, pipeline_groups=2)
+    agent = build_agent(_state_agent_cfg(obs_dim=4, action_dim=3, batch_size=16))
+    replay = DeviceReplayMemory(capacity=512, seed=0)
+    try:
+        train_rl(
+            agent, rollout, None, replay, work_dir=str(tmp_path),
+            total_steps=48, warm_steps=16, n_steps=8, n_updates=8,
+            n_log=16, n_eval=-1, n_checkpoint=-1,
+        )
+    finally:
+        rollout.close()
+    assert int(agent.train_state.updates) == 32  # (48-16)/8 cycles x 8 updates
