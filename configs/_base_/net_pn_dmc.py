@@ -3,7 +3,20 @@ _base_ = ["./sac_agent.py"]
 # PointNet actor/critic networks for DM Control point-cloud observations.
 # Feature sizes resolve against the live env via placeholders.
 
+# The TPU-shaped hot path is the default for pointcloud configs: transitions
+# live in HBM and each gradient step is a fused on-device sample+update —
+# no 20+ MB host->device batch copy per update.  bf16 runs the matmuls on
+# the MXU at ~1.5x the f32 update rate (params/LN/losses stay f32).
+# Multi-worker pipelined collection overlaps policy fetches with host sims.
+replay_cfg = dict(type="DeviceReplayMemory", capacity=100000)
+rollout_cfg = dict(type="Rollout", num_procs=4)
+# 4 env steps : 4 updates per cycle — the same 1:1 update-to-data ratio as
+# the reference's n_steps=1/n_updates=1, batched so the 4 workers step
+# together and the updates dispatch as one scanned program.
+train_cfg = dict(n_steps=4, n_updates=4)
+
 agent_cfg = dict(
+    bf16=True,
     actor_cfg=dict(
         type="ContinuousActor",
         head_cfg=dict(type="TanhGaussianHead", log_std_bound=[-10, 2]),

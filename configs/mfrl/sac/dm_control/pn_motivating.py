@@ -12,9 +12,15 @@ agent_cfg = dict(
 
 env_cfg = dict(env_name="reacher3d_easy-v0", stack_frame=1, horizon=1)
 
+# single worker + 1:1 stepping: this config is the fast CI/debug drive —
+# the multi-worker pipelined defaults only pay off on real accelerators
+rollout_cfg = dict(num_procs=1)
+
 train_cfg = dict(
     total_steps=5000,
     warm_steps=200,
+    n_steps=1,
+    n_updates=1,
     n_log=100,
     n_checkpoint=10000,
 )

@@ -20,6 +20,9 @@ agent_cfg = dict(
 
 env_cfg = dict(env_name="dmc_cheetah_run-v0")
 
+# Recurrent training samples T-step windows, which needs the host replay's
+# episode tracking (the HBM replay samples iid transitions only).
 replay_cfg = dict(
+    type="ReplayMemory",
     sampling_cfg=dict(_delete_=True, type="TStepTransition", horizon=8),
 )

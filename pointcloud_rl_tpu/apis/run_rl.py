@@ -129,6 +129,16 @@ def run(cfg: Config, work_dir: str, seed: int, args) -> None:
 
     # replay / rollout / evaluator (reference run_rl.py:397-441)
     replay = build_replay(dict(cfg["replay_cfg"]), dict(seed=seed)) if "replay_cfg" in cfg else None
+    # auxiliary buffers (reference run_rl.py:402-407): a demo/expert dataset
+    # replay (HDF5-backed, possibly dynamically loaded) and a recent-
+    # trajectory buffer for imitation-style objectives
+    expert_replay = None
+    if cfg.get("expert_replay_cfg"):
+        ecfg = dict(cfg["expert_replay_cfg"])
+        assert ecfg.get("buffer_filenames"), "expert_replay_cfg needs buffer_filenames"
+        expert_replay = build_replay(ecfg, dict(seed=seed))
+    recent_traj_replay = build_replay(dict(cfg["recent_traj_replay_cfg"]), dict(seed=seed)) \
+        if cfg.get("recent_traj_replay_cfg") else None
     rollout = None
     if not args.evaluation and "rollout_cfg" in cfg:
         rollout_cfg = dict(cfg["rollout_cfg"])
@@ -192,6 +202,8 @@ def run(cfg: Config, work_dir: str, seed: int, args) -> None:
             rollout=rollout,
             evaluator=evaluator,
             replay=replay,
+            expert_replay=expert_replay,
+            recent_traj_replay=recent_traj_replay,
             work_dir=work_dir,
             exp_logger=exp_logger,
             resume_steps=resume_steps,

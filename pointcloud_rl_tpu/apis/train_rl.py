@@ -47,6 +47,8 @@ def train_rl(
     profile_steps: int = 0,
     save_replay: int = 0,
     ep_stats_cfg: Optional[dict] = None,
+    expert_replay=None,
+    recent_traj_replay=None,
 ) -> None:
     """``save_replay=N``: snapshot the N most recent replay transitions next
     to each checkpoint (models/replay_latest.h5) so auto-resume continues
@@ -58,6 +60,13 @@ def train_rl(
     ``dict(info_keys_mode=dict(success=[True, "max", "all"]))`` to log
     ManiSkill success rates as ``env/success_mean``."""
     logger = get_logger("pcrl")
+    if expert_replay is not None:
+        # Demo/expert dataset exposure (reference train_rl.py:295): agents
+        # with demo-augmented objectives read ``agent.expert_replay`` inside
+        # their update; plain SAC/DrQ ignore it.
+        agent.expert_replay = expert_replay
+        logger.info(f"Expert replay attached: {len(expert_replay)} transitions"
+                    + (" (dynamic)" if getattr(expert_replay, "dynamic_loading", False) else ""))
     if ep_stats_cfg and rollout is not None:
         from ..utils.stats import EpisodicStatistics
 
@@ -142,6 +151,11 @@ def train_rl(
         if n_steps > 0 and rollout is not None:
             agent.eval()
             out = rollout.forward_with_policy(agent, n_steps, replay, update_hook=update_hook)
+            if recent_traj_replay is not None and out is not None:
+                # mirror fresh transitions into the recent-trajectory buffer
+                # (reference train_rl.py:282-283) for imitation objectives
+                recent_traj_replay.push_batch({k: v for k, v in out.items()
+                                               if not k.startswith("_") and k != "infos"})
             steps += n_steps
             if out and "_stats" in out:
                 for k, v in out["_stats"].items():

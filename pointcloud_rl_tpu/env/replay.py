@@ -39,6 +39,10 @@ class ReplayMemory:
         buffer_filenames: Optional[List[str]] = None,
         keys: Optional[List[str]] = None,
         seed: Optional[int] = None,
+        data_coder_cfg: Optional[dict] = None,
+        dynamic_loading: Optional[bool] = None,
+        cache_files_ahead: int = 2,
+        num_samples: int = -1,
     ):
         self.capacity = int(capacity)
         self.memory = None
@@ -54,9 +58,22 @@ class ReplayMemory:
         # valid while none of it has been overwritten by the ring.
         self._episode_spans: List[tuple] = []  # (global_start, length)
         self._open_episodes: Dict[int, tuple] = {}  # worker -> (global_start, length)
+        self.data_coder = None
+        if data_coder_cfg is not None:
+            from ..utils.io import DataCoder
+
+            self.data_coder = DataCoder(**data_coder_cfg)
+        # HDF5-dataset backing (reference replay_buffer.py:100-172): when the
+        # dataset exceeds capacity, chunks stream in via a background
+        # prefetcher and sample() swaps to the next chunk after one pass
+        # over the current one (dynamic loading); otherwise everything
+        # full-loads once.
+        self.dynamic_loading = False
+        self._chunk_loader = None
+        self._chunk_sampled = 0
         if buffer_filenames:
-            for fn in buffer_filenames:
-                self.load_hdf5(fn)
+            self._init_file_backing(list(buffer_filenames), dynamic_loading,
+                                    cache_files_ahead, num_samples)
 
     # ----------------------------------------------------------- properties
     def __len__(self) -> int:
@@ -189,8 +206,98 @@ class ReplayMemory:
             pushed += n
         return pushed
 
+    # ------------------------------------------------- hdf5 dataset backing
+    @staticmethod
+    def _hdf5_units(filenames: List[str], capacity: int, num_samples: int):
+        """Split the dataset into load units of <= capacity transitions.
+
+        A unit is a list of (filename, traj_key_or_None, start, stop) slices;
+        traj_key None means the file stores a flat tree (leaves [N, ...]).
+        """
+        import h5py
+
+        units, cur, cur_len, total = [], [], 0, 0
+        entries = []  # (filename, traj_key_or_None, length)
+        for fn in filenames:
+            with h5py.File(fn, "r") as f:
+                traj_keys = sorted(k for k in f.keys() if k.startswith("traj"))
+                if num_samples > 0:
+                    traj_keys = traj_keys[:num_samples]
+                if traj_keys:
+                    for tk in traj_keys:
+                        grp = f[tk]
+                        first = next(iter(grp.values()))
+                        while hasattr(first, "values"):
+                            first = next(iter(first.values()))
+                        entries.append((fn, tk, len(first)))
+                else:
+                    first = next(iter(f.values()))
+                    while hasattr(first, "values"):
+                        first = next(iter(first.values()))
+                    entries.append((fn, None, len(first)))
+        for fn, tk, n in entries:
+            total += n
+            start = 0
+            while start < n:
+                take = min(n - start, capacity - cur_len)
+                cur.append((fn, tk, start, start + take))
+                cur_len += take
+                start += take
+                if cur_len == capacity:
+                    units.append(cur)
+                    cur, cur_len = [], 0
+        if cur:
+            units.append(cur)
+        return units, total
+
+    def _load_unit(self, unit) -> Dict[str, Any]:
+        import h5py
+
+        from ..utils.tree_ops import tree_concat
+
+        parts = []
+        for fn, tk, start, stop in unit:
+            with h5py.File(fn, "r") as f:
+                grp = f[tk] if tk is not None else f
+
+                def _load(g):
+                    return {k: (_load(v) if hasattr(v, "items") else np.asarray(v[start:stop]))
+                            for k, v in g.items()}
+
+                parts.append(_load(grp))
+        data = tree_concat(parts, 0) if len(parts) > 1 else parts[0]
+        if self.data_coder is not None:
+            data = self.data_coder.decode(data)
+        return data
+
+    def _init_file_backing(self, filenames, dynamic_loading, ahead, num_samples):
+        units, total = self._hdf5_units(filenames, self.capacity, num_samples)
+        if dynamic_loading is None:
+            dynamic_loading = total > self.capacity
+        self.dynamic_loading = bool(dynamic_loading)
+        if not self.dynamic_loading:
+            for unit in units:
+                self.push_batch(self._load_unit(unit))
+            return
+        # chunks stream through a background prefetcher; one pass over each
+        # chunk, then swap (reference replay_buffer.py:134-138, 297-314)
+        from ..utils.io import FileCache
+
+        self._chunk_loader = FileCache(units, loader=self._load_unit, ahead=ahead, loop=True)
+        self._swap_chunk()
+
+    def _swap_chunk(self) -> None:
+        _, data = self._chunk_loader.get()
+        assert data is not None, "dataset prefetcher closed unexpectedly"
+        self.reset()
+        self.push_batch(data)
+        self._chunk_sampled = 0
+
     # --------------------------------------------------------------- sample
     def sample(self, batch_size: int) -> Dict[str, Any]:
+        if self.dynamic_loading and self._chunk_sampled + batch_size > len(self):
+            self._swap_chunk()
+        self._chunk_sampled += batch_size
         idx = self.sampling.sample(batch_size, len(self), self.capacity)
         return tree_take(self.memory, idx)
 
@@ -242,3 +349,8 @@ class ReplayMemory:
 
             data = _load(f)
         self.push_batch(data)
+
+    def close(self) -> None:
+        if self._chunk_loader is not None:
+            self._chunk_loader.close()
+            self._chunk_loader = None

@@ -107,19 +107,91 @@ def load_hdf5(path: str):
 
 
 # -------------------------------------------------------------- compression
-class DataCoder:
-    """Replay/trajectory codecs (reference compression.py role):
+def float_to_int(data: np.ndarray, vrange=(0.0, 1.0), res=None, dtype="uint8") -> np.ndarray:
+    """Quantize floats into an integer dtype (reference compression.py:9-26):
+    either affinely over ``vrange`` across the full integer range, or by a
+    fixed resolution ``res`` (value / res, e.g. xyz at 1 mm -> int16)."""
+    data = np.asarray(data)
+    if data.dtype.kind in "iu":
+        return data.astype(dtype)
+    info = np.iinfo(np.dtype(dtype))
+    if vrange is not None:
+        assert res is None and vrange[0] < vrange[1]
+        x = (np.clip(data, vrange[0], vrange[1]) - vrange[0]) / (vrange[1] - vrange[0])
+        x = x * info.max + (1 - x) * info.min
+    else:
+        assert res is not None
+        x = data / res
+    return np.clip(x, info.min, info.max).astype(dtype)
 
-    * float32 -> float16 quantization for xyz/depth-like channels
-    * uint8 rgb image (en/de)coding as PNG bytes via cv2
+
+def int_to_float(data: np.ndarray, vrange=(0.0, 1.0), res=None) -> np.ndarray:
+    """Inverse of float_to_int (reference compression.py:28-49)."""
+    data = np.asarray(data)
+    if data.dtype.kind == "f":
+        return data.astype(np.float32)
+    info = np.iinfo(data.dtype)
+    if vrange is not None:
+        assert res is None
+        x = (data.astype(np.float32) - np.float32(info.min)) / (np.float32(info.max) - np.float32(info.min))
+        x = x * np.float32(vrange[1]) + (1 - x) * np.float32(vrange[0])
+    else:
+        assert res is not None
+        x = data * np.float32(res)
+    return x.astype(np.float32)
+
+
+def _imencode_png(img: np.ndarray) -> bytes:
+    import cv2
+
+    ok, buf = cv2.imencode(".png", img)
+    assert ok, f"PNG encode failed for shape {img.shape} dtype {img.dtype}"
+    return buf.tobytes()
+
+
+def _imdecode_png(data) -> np.ndarray:
+    import cv2
+
+    return cv2.imdecode(np.frombuffer(bytes(data), np.uint8), cv2.IMREAD_UNCHANGED)
+
+
+class DataCoder:
+    """Replay/trajectory codecs (reference compression.py:70-196 role):
+
+    * float32 -> float16 ("f16") for xyz/depth-like channels
+    * "quantize": float <-> int range/resolution quantization (np_compress)
+    * per-image codecs for trajectory files:
+      - uint8 rgb PNG ("rgb_png", [H, W, 3k] uint8)
+      - uint16 depth PNG ("depth_png", [H, W, k] uint16 — PNG natively
+        stores 16-bit grayscale)
+      - segmentation-mask PNG ("seg_png", [H, W, m<=7] bool bit-packed into
+        one uint8 image with a sentinel bit marking the mask count)
+
+    ``compress_cfg``: {key: (op, *args)} applied per top-level key by
+    encode()/decode(); image codecs operate on single frames via
+    encode_image/decode_image (variable-length bytes, stored as vlen
+    datasets in HDF5 trajectories).
     """
 
-    def __init__(self, f16: bool = True, png_keys: tuple = ("rgb",)):
+    def __init__(self, f16: bool = True, png_keys: tuple = ("rgb",),
+                 compress_cfg: Optional[dict] = None):
         self.f16 = f16
         self.png_keys = png_keys
+        self.compress_cfg = dict(compress_cfg or {})
+
+    def _apply_key(self, key: str, x: np.ndarray, encode: bool) -> np.ndarray:
+        op, *args = self.compress_cfg[key] if isinstance(self.compress_cfg[key], (tuple, list)) \
+            else (self.compress_cfg[key],)
+        if op == "quantize":
+            return float_to_int(x, *args) if encode else int_to_float(x, *[a for a in args[:2]])
+        raise KeyError(f"unknown codec op {op!r} for key {key!r}")
 
     def encode(self, tree):
         from .tree_ops import tree_map
+
+        if isinstance(tree, dict) and self.compress_cfg:
+            tree = {k: (self._apply_key(k, v, True) if k in self.compress_cfg else v)
+                    for k, v in tree.items()}
 
         def _enc(x):
             x = np.asarray(x)
@@ -138,21 +210,50 @@ class DataCoder:
                 return x.astype(np.float32)
             return x
 
-        return tree_map(_dec, tree)
+        tree = tree_map(_dec, tree)
+        if isinstance(tree, dict) and self.compress_cfg:
+            tree = {k: (self._apply_key(k, v, False) if k in self.compress_cfg else v)
+                    for k, v in tree.items()}
+        return tree
 
+    # ------------------------------------------------- per-image PNG codecs
     @staticmethod
     def encode_png(img: np.ndarray) -> bytes:
-        import cv2
-
-        ok, buf = cv2.imencode(".png", img)
-        assert ok
-        return buf.tobytes()
+        return _imencode_png(img)
 
     @staticmethod
     def decode_png(data: bytes) -> np.ndarray:
-        import cv2
+        return _imdecode_png(data)
 
-        return cv2.imdecode(np.frombuffer(data, np.uint8), cv2.IMREAD_UNCHANGED)
+    @staticmethod
+    def encode_depth_png(depth: np.ndarray) -> bytes:
+        """[H, W] or [H, W, 1] uint16 depth -> 16-bit grayscale PNG
+        (reference uint16_png, compression.py:133-142)."""
+        assert depth.dtype == np.uint16, "depth must be pre-quantized to uint16"
+        return _imencode_png(depth.reshape(depth.shape[0], depth.shape[1]))
+
+    @staticmethod
+    def decode_depth_png(data: bytes) -> np.ndarray:
+        return _imdecode_png(data).astype(np.uint16)
+
+    @staticmethod
+    def encode_seg_png(seg: np.ndarray) -> bytes:
+        """[H, W, m] bool masks (m <= 7) bit-packed little-endian into one
+        uint8 image; an always-on sentinel bit above the masks encodes m so
+        decode recovers the mask count (reference seg_png,
+        compression.py:144-156)."""
+        assert seg.ndim == 3 and seg.shape[-1] <= 7, "at most 7 masks per packed image"
+        packed = np.packbits(
+            np.concatenate([seg.astype(bool), np.ones_like(seg[..., :1], bool)], axis=-1),
+            axis=-1, bitorder="little",
+        )[..., 0]
+        return _imencode_png(packed)
+
+    @staticmethod
+    def decode_seg_png(data: bytes) -> np.ndarray:
+        packed = _imdecode_png(data)
+        num_segs = int(packed[0, 0]).bit_length() - 1
+        return np.unpackbits(packed[..., None], axis=-1, count=num_segs, bitorder="little").astype(bool)
 
 
 # --------------------------------------------------------------- file cache

@@ -71,3 +71,55 @@ def test_shared_tree_buffer_roundtrip():
         other.close()
     finally:
         buf.close()
+
+
+def test_quantization_codecs():
+    """float<->int quantization (reference compression.py:9-49): range mode
+    maps [lo, hi] affinely over the integer range; resolution mode divides."""
+    from pointcloud_rl_tpu.utils.io import float_to_int, int_to_float
+
+    rs = np.random.RandomState(0)
+    x = rs.uniform(0, 1, (64, 3)).astype(np.float32)
+    q = float_to_int(x, vrange=(0.0, 1.0), dtype="uint8")
+    assert q.dtype == np.uint8
+    back = int_to_float(q, vrange=(0.0, 1.0))
+    np.testing.assert_allclose(back, x, atol=1.0 / 255 + 1e-6)
+
+    xyz = rs.uniform(-2, 2, (100, 3)).astype(np.float32)
+    q16 = float_to_int(xyz, vrange=None, res=1e-3, dtype="int16")
+    assert q16.dtype == np.int16
+    np.testing.assert_allclose(int_to_float(q16, vrange=None, res=1e-3), xyz, atol=1e-3)
+
+    depth = rs.uniform(0, 5, (16, 20)).astype(np.float32)
+    d16 = float_to_int(depth, vrange=(0.0, 5.0), dtype="uint16")
+    np.testing.assert_allclose(int_to_float(d16, vrange=(0.0, 5.0)), depth, atol=5.0 / 65535 + 1e-6)
+
+
+def test_png_image_codecs():
+    """uint16 depth PNG and bit-packed segmentation PNG round-trip exactly
+    (reference compression.py:133-156)."""
+    from pointcloud_rl_tpu.utils.io import DataCoder
+
+    rs = np.random.RandomState(1)
+    depth = rs.randint(0, 65535, (24, 32), dtype=np.uint16)
+    assert np.array_equal(DataCoder.decode_depth_png(DataCoder.encode_depth_png(depth)), depth)
+
+    seg = rs.rand(24, 32, 3) > 0.5
+    out = DataCoder.decode_seg_png(DataCoder.encode_seg_png(seg))
+    assert out.shape == seg.shape and out.dtype == bool
+    np.testing.assert_array_equal(out, seg)
+
+    rgb = rs.randint(0, 255, (24, 32, 3), dtype=np.uint8)
+    assert np.array_equal(DataCoder.decode_png(DataCoder.encode_png(rgb)), rgb)
+
+
+def test_data_coder_quantize_cfg():
+    from pointcloud_rl_tpu.utils.io import DataCoder
+
+    coder = DataCoder(f16=False, compress_cfg={"xyz": ("quantize", None, 1e-3, "int16")})
+    tree = {"xyz": np.random.RandomState(2).uniform(-1, 1, (10, 3)).astype(np.float32),
+            "actions": np.ones((10, 2), np.float32)}
+    enc = coder.encode(tree)
+    assert enc["xyz"].dtype == np.int16 and enc["actions"].dtype == np.float32
+    dec = coder.decode(enc)
+    np.testing.assert_allclose(dec["xyz"], tree["xyz"], atol=1e-3)
