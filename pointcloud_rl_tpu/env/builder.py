@@ -42,6 +42,13 @@ def _build_base_env(env_name: str, obs_mode: str, **kwargs) -> Env:
         from .fake_manipulation import FakeManipulationEnv
 
         return FakeManipulationEnv(obs_mode=obs_mode, **kwargs)
+    if env_name.startswith("MoveBucketMJC"):
+        # Real-physics MoveBucket on MuJoCo with the PartNet-Mobility assets
+        # (no SAPIEN needed): MoveBucketMJC_{train,val}-v0
+        from .mujoco_manipulation import MoveBucketEnv
+
+        split = env_name.split("_", 1)[1].split("-")[0] if "_" in env_name else "train"
+        return MoveBucketEnv(split=split, obs_mode=obs_mode, **kwargs)
     if any(env_name.startswith(p) for p in ("OpenCabinetDoor", "OpenCabinetDrawer", "PushChair", "MoveBucket")):
         from .maniskill import build_maniskill_env
 
