@@ -97,7 +97,7 @@ class Rollout:
             f"num ({num}) must be divisible by num_envs ({self.num_envs}) for synchronized stepping"
         )
         can_pipeline = (
-            self.pipeline_groups > 1
+            (self.pipeline_groups > 1 or update_hook is not None)
             and hasattr(pi, "forward_async")
             and not getattr(getattr(pi, "model", None), "is_recurrent", False)
         )

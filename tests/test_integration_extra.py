@@ -78,3 +78,34 @@ def test_train_loop_interleaved_updates(tmp_path):
     finally:
         rollout.close()
     assert int(agent.train_state.updates) == 32  # (48-16)/8 cycles x 8 updates
+
+
+def test_pipelined_single_group_with_hook(tmp_path):
+    """pipeline_groups=1 + update_hook: one act batch per step for ALL envs
+    (fewer device round trips when updates dominate) still dispatches the
+    hook and collects exactly num steps."""
+    import numpy as np
+
+    from pointcloud_rl_tpu.algorithms import build_agent
+    from pointcloud_rl_tpu.env import DeviceReplayMemory, Rollout
+
+    from tests.test_algorithms import _state_agent_cfg
+
+    env_cfg = dict(type="gym", env_name="reacher3d_easy-v0", obs_mode="state")
+    rollout = Rollout(env_cfg=env_cfg, num_procs=4, base_seed=0, pipeline_groups=1)
+    agent = build_agent(_state_agent_cfg(obs_dim=4, action_dim=3, batch_size=8))
+    mem = DeviceReplayMemory(capacity=256, seed=0)
+    try:
+        rollout.forward_with_policy(None, 32, mem)  # warm-up fills the buffer
+        calls = {"n": 0}
+
+        def hook():
+            calls["n"] += 1
+            agent.update_parameters_scan(mem, 2)
+
+        out = rollout.forward_with_policy(agent, 8, mem, update_hook=hook)
+        assert calls["n"] == 2  # 8 steps / 4 envs = 2 group events
+        assert int(agent.train_state.updates) == 4
+        assert np.isfinite(out["rewards"]).all()
+    finally:
+        rollout.close()
