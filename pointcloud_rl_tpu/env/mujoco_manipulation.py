@@ -75,28 +75,37 @@ def load_bucket_split(split: str) -> Dict[str, dict]:
 
 def _urdf_to_mjcf_parts(model_dir: str) -> Tuple[List[ET.Element], List[ET.Element]]:
     """Compile a PartNet URDF with MuJoCo and return (asset meshes with
-    absolute paths, worldbody children) for grafting into a scene."""
-    import tempfile
+    absolute paths, worldbody children) for grafting into a scene.
 
+    Uses the per-file MjSpec API, NOT mj_saveLastXML: the latter is
+    process-global and, after a failed compile of one model, can hand back
+    the FAILED parse's spec instead of the fallback's (observed as a
+    mid-training worker crash on the repaired models)."""
     import mujoco
 
-    cwd = os.getcwd()
+    def _spec_from(urdf_name: str):
+        # Mesh paths are rewritten ABSOLUTE before parsing: MuJoCo's global
+        # mesh cache keys on the path STRING, so the relative
+        # "textured_objs/original-N.obj" collides across models — a cache
+        # hit then skips the convex-hull validation and a model with a
+        # degenerate mesh compiles here only to fail later in the composed
+        # scene (observed as a mid-training worker crash).
+        import re
+
+        with open(osp.join(model_dir, urdf_name)) as f:
+            text = f.read()
+        text = re.sub(r'filename="(?!/)', f'filename="{model_dir}/', text)
+        spec = mujoco.MjSpec.from_string(text)
+        spec.compile()  # raises for degenerate (coplanar) collision meshes
+        return spec
+
     try:
-        os.chdir(model_dir)
-        try:
-            m = mujoco.MjModel.from_xml_path("mobility.urdf")
-        except ValueError:
-            # a few snapshot models have degenerate (coplanar) meshes that
-            # defeat the convex-hull pass; the dataset ships a repaired
-            # variant for exactly those (4009, 4023)
-            m = mujoco.MjModel.from_xml_path("mobility_fixed.urdf")
-        with tempfile.NamedTemporaryFile(suffix=".xml", delete=False) as f:
-            path = f.name
-        mujoco.mj_saveLastXML(path, m)
-        tree = ET.parse(path)
-        os.unlink(path)
-    finally:
-        os.chdir(cwd)
+        spec = _spec_from("mobility.urdf")
+    except ValueError:
+        # the dataset ships a repaired variant for exactly those models
+        # (4009, 4023: visual-only simplified geometry)
+        spec = _spec_from("mobility_fixed.urdf")
+    tree = ET.ElementTree(ET.fromstring(spec.to_xml()))
     root = tree.getroot()
     meshes = []
     for mesh in root.find("asset") or []:
@@ -185,8 +194,9 @@ def build_move_bucket_xml(model_dir: str, scale: float, plat_xy, bucket_xy,
                                                pos=f"{bucket_xy[0]} {bucket_xy[1]} 0.35"))
     ET.SubElement(bucket, "freejoint", dict(name="bucket_root"))
     for child in children:
-        # scale body/geom offsets along with the meshes
-        for el in [child] + list(child.iter()):
+        # scale body/geom offsets along with the meshes (iter() includes the
+        # element itself — don't visit it twice or offsets scale by scale^2)
+        for el in child.iter():
             pos = el.get("pos")
             if pos:
                 el.set("pos", " ".join(str(float(v) * scale) for v in pos.split()))
