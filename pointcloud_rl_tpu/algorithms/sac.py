@@ -402,13 +402,25 @@ class SAC(BaseAgent):
         attribute mutation, so re-tracing can never capture the wrong value."""
         model = self.model
         alpha = jnp.exp(log_alpha)
+        # With a shared-target backbone the target critic reads the LIVE
+        # visual params, so the actor's next-obs features are exactly what
+        # it would recompute — pass them explicitly.  (XLA's CSE already
+        # merges the two identical encodes, so this is structural clarity
+        # plus robustness if the traces ever diverge, not a measured win.)
+        # RNN policies keep separate paths (features are state-dependent).
+        share_next = (
+            self.shared_backbone and model.shared_target_backbone
+            and model.visual is not None and model.rnn is None
+        )
         if self.is_discrete:
-            (probs, ent), _ = model.actor_apply(params, batch["next_obs"], mode="max-entropy", rng=rng)
-            q_next = model.target_critic_apply(params, target_params, batch["next_obs"], actions_prob=probs)
+            (probs, ent), feat_next = model.actor_apply(params, batch["next_obs"], mode="max-entropy", rng=rng)
+            q_next = model.target_critic_apply(params, target_params, batch["next_obs"], actions_prob=probs,
+                                               visual_feature=feat_next if share_next else None)
             neg_logp = ent
         else:
-            (next_actions, neg_logp), _ = model.actor_apply(params, batch["next_obs"], mode="max-entropy", rng=rng)
-            q_next = model.target_critic_apply(params, target_params, batch["next_obs"], actions=next_actions)
+            (next_actions, neg_logp), feat_next = model.actor_apply(params, batch["next_obs"], mode="max-entropy", rng=rng)
+            q_next = model.target_critic_apply(params, target_params, batch["next_obs"], actions=next_actions,
+                                               visual_feature=feat_next if share_next else None)
         min_q_next = q_next.min(axis=-1, keepdims=True) + alpha * neg_logp
         rewards = batch["rewards"] * (self.reward_scale if reward_scale is None else reward_scale)
         if self.ignore_dones:

@@ -326,11 +326,20 @@ class ActorCriticModel:
         return self.actor_apply(src, obs, mode=mode, rng=rng, seq=seq)
 
     def target_critic_apply(self, params, target_params, obs, actions=None, actions_prob=None,
-                            seq: bool = False, episode_dones=None):
-        """Target critic; shared-target backbones read the LIVE visual params."""
+                            seq: bool = False, episode_dones=None, visual_feature=None):
+        """Target critic; shared-target backbones read the LIVE visual params.
+
+        ``visual_feature``: with a shared-target backbone the live actor's
+        next-obs features are IDENTICAL to what this would compute — passing
+        them skips a full visual encode (the update is bandwidth-bound on
+        exactly those activations)."""
+        assert visual_feature is None or self.shared_target_backbone, (
+            "visual_feature reuse requires the shared-target backbone (the "
+            "target otherwise owns its visual params)"
+        )
         src = dict(params)
         src.update(target_params)  # target-owned subtrees override live ones
-        q = self._critic_heads(target_params["critic"], src, obs, actions, None,
+        q = self._critic_heads(target_params["critic"], src, obs, actions, visual_feature,
                                seq=seq, episode_dones=episode_dones)
         if not self.is_discrete:
             return q[..., 0]

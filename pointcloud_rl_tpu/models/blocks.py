@@ -95,14 +95,19 @@ class DenseBlock(nn.Module):
     @nn.compact
     def __call__(self, x):
         fan_in = x.shape[-1]
+        cdtype = resolve_dtype(self.dtype)
         x = nn.Dense(
             self.out_channels,
             use_bias=self.use_bias,
             kernel_init=torch_default_kernel_init,
             bias_init=make_torch_bias_init(fan_in),
-            dtype=resolve_dtype(self.dtype),
+            dtype=cdtype,
         )(x)
         if self.norm == "LN":
+            # LN statistics AND output in f32 even under mixed precision:
+            # casting the normalized activations to bf16 bought no measured
+            # bandwidth (XLA already fuses the casts) and measurably hurt
+            # cartpole_swingup convergence (train reward 165 vs 250 @16k)
             x = nn.LayerNorm(epsilon=self.norm_eps, dtype=jnp.float32)(x)
         act = get_activation(self.act)
         if act is not None:
