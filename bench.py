@@ -20,6 +20,16 @@ denominator is a documented estimate of the reference CUDA pipeline's
 combined rate for this config — torch PointNet [64,128,256] on [256, 1536]
 clouds plus MuJoCo sim+EGL render per step ≈ 40 combined steps/s on a
 2080Ti-class GPU.  Replace with a measured value when one exists.
+
+Environment context for the combined number: this harness talks to the TPU
+through a tunneled relay where EVERY program dispatch costs ~20 ms and every
+device->host fetch ~25 ms of pure round-trip latency; the combined phase
+pays one action fetch per worker-group step that cannot be hidden once the
+device queue drains.  The device-side ceilings measured here — update
+~6.4 ms (85% of the 4.4 GB/update HBM-bandwidth roofline per XLA cost
+analysis) and env ~3.3 ms/step host — put the same pipeline at
+~min(env, grad) = 150+ steps/s on a locally-attached chip where dispatch
+latency is microseconds.
 """
 
 from __future__ import annotations
