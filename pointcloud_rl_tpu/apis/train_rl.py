@@ -150,12 +150,11 @@ def train_rl(
 
         if n_steps > 0 and rollout is not None:
             agent.eval()
-            out = rollout.forward_with_policy(agent, n_steps, replay, update_hook=update_hook)
-            if recent_traj_replay is not None and out is not None:
-                # mirror fresh transitions into the recent-trajectory buffer
-                # (reference train_rl.py:282-283) for imitation objectives
-                recent_traj_replay.push_batch({k: v for k, v in out.items()
-                                               if not k.startswith("_") and k != "infos"})
+            # recent_traj_replay receives EVERY transition collected this
+            # cycle (reference train_rl.py:281-283) and is reset at each log
+            # boundary (the print-period analogue, train_rl.py:264-265).
+            out = rollout.forward_with_policy(agent, n_steps, replay, update_hook=update_hook,
+                                              recent_replay=recent_traj_replay)
             steps += n_steps
             if out and "_stats" in out:
                 for k, v in out["_stats"].items():
@@ -253,6 +252,8 @@ def train_rl(
             metric_sums.clear()
             metric_counts.clear()
             time_sums.clear()
+            if recent_traj_replay is not None:
+                recent_traj_replay.reset()  # reference train_rl.py:264-265
 
         # ---- evaluation (train_rl.py:373-390) -------------------------------
         if evaluator is not None and eval_trigger.n and eval_trigger.check(steps) and is_lead:

@@ -248,7 +248,6 @@ class MoveBucketEnv(Env):
         self.ego_mode = ego_mode
         self.action_space = Box(-1.0, 1.0, (6,))
         self.np_random = np.random.RandomState()
-        self._model_cache: Dict[tuple, object] = {}
         self._renderers = None
         self.model = None
         self._step_count = 0
@@ -260,10 +259,11 @@ class MoveBucketEnv(Env):
 
     # ------------------------------------------------------------- scene
     def _compiled(self, model_id: str, scale: float):
+        # No model caching: platform/bucket placement is baked into the XML
+        # (continuous samples, so a placement-keyed cache would never hit),
+        # and MuJoCo's global mesh cache already cost one round-2 crash.
         import mujoco
 
-        key = (model_id, round(scale, 4), tuple(np.round(self._plat_xy, 3)),
-               tuple(np.round(self._bucket_xy, 3)))
         xml = build_move_bucket_xml(osp.join(ASSET_ROOT, model_id), scale,
                                     self._plat_xy, self._bucket_xy)
         return mujoco.MjModel.from_xml_string(xml)

@@ -59,12 +59,17 @@ class Rollout:
         return self.vec_env.random_actions()
 
     def forward_with_policy(self, pi, num: int, replay=None, on_policy: bool = False,
-                            update_hook=None) -> Dict[str, Any]:
+                            update_hook=None, recent_replay=None) -> Dict[str, Any]:
         """Collect ``num`` env steps; push transitions into ``replay``.
 
         pi=None -> uniform random actions built in-env (warm-up,
         reference rollout.py:54-65).  Returns the last collected batch dict
         plus timing info under "_stats".
+
+        ``recent_replay``: optional second buffer receiving EVERY collected
+        transition (reference train_rl.py:281-283 pushes all trajectories of
+        the iteration into recent_traj_replay; the caller resets it each
+        print period per train_rl.py:264-265).
 
         ``update_hook`` (pipelined path only): called once after each group
         completes a step — the training loop uses it to DISPATCH gradient
@@ -78,6 +83,8 @@ class Rollout:
             assert replay is not None
             ret = self.vec_env.step_random_actions(num)
             replay.push_batch(ret)
+            if recent_replay is not None:
+                recent_replay.push_batch(ret)
             # Episode accounting for the warm-up transitions (row-wise; the
             # batch is grouped per worker so per-worker accumulation holds).
             rewards = np.asarray(ret["rewards"]).reshape(-1)
@@ -91,7 +98,7 @@ class Rollout:
             return {"_stats": self._stats(num)}
 
         if self.full_episode:
-            return self._forward_full_episodes(pi, num, replay)
+            return self._forward_full_episodes(pi, num, replay, recent_replay=recent_replay)
 
         assert num % self.num_envs == 0, (
             f"num ({num}) must be divisible by num_envs ({self.num_envs}) for synchronized stepping"
@@ -102,7 +109,8 @@ class Rollout:
             and not getattr(getattr(pi, "model", None), "is_recurrent", False)
         )
         if can_pipeline:
-            return self._forward_pipelined(pi, num, replay, update_hook=update_hook)
+            return self._forward_pipelined(pi, num, replay, update_hook=update_hook,
+                                           recent_replay=recent_replay)
         steps = num // self.num_envs
         last = None
         for _ in range(steps):
@@ -116,6 +124,8 @@ class Rollout:
             self.episode_stats.push(trans["rewards"][:, 0], trans["episode_dones"][:, 0], trans.get("infos"))
             if replay is not None:
                 replay.push_batch(trans)
+            if recent_replay is not None:
+                recent_replay.push_batch({k: v for k, v in trans.items() if k != "infos"})
             self.timer.tick("copy")
             last = trans
         if last is not None:
@@ -123,7 +133,8 @@ class Rollout:
             last["_stats"] = self._stats(num)
         return last
 
-    def _forward_pipelined(self, pi, num: int, replay, update_hook=None) -> Dict[str, Any]:
+    def _forward_pipelined(self, pi, num: int, replay, update_hook=None,
+                           recent_replay=None) -> Dict[str, Any]:
         """Grouped pipelined collection (reference rollout.py:144-181
         step_async + partial_forward, redesigned for a remote accelerator).
 
@@ -168,7 +179,7 @@ class Rollout:
                     int(w), float(trans["rewards"][rank, 0]), bool(trans["episode_dones"][rank, 0]),
                     infos=trans.get("infos"), row=rank,
                 )
-            if replay is not None:
+            if replay is not None or recent_replay is not None:
                 # drop infos before concat (replays skip them; key sets can
                 # differ between groups which would break tree_concat)
                 collected.append({k: v for k, v in trans.items() if k != "infos"})
@@ -217,13 +228,17 @@ class Rollout:
                     assert sim, "pipeline stalled with no pending work"
                     _finish(sim[0], groups[sim[0]], block=True)
 
-        if replay is not None and collected:
+        if collected and (replay is not None or recent_replay is not None):
             # ONE batched push per collection call: a device replay pays one
             # jitted ring-write dispatch instead of one per group-step.
             t0 = _time.monotonic()
             from ..utils.tree_ops import tree_concat
 
-            replay.push_batch(tree_concat(collected, 0))
+            batch = tree_concat(collected, 0)
+            if replay is not None:
+                replay.push_batch(batch)
+            if recent_replay is not None:
+                recent_replay.push_batch(batch)
             t_copy += _time.monotonic() - t0
 
         self.timer.add("agent", t_agent)
@@ -234,7 +249,7 @@ class Rollout:
             last["_stats"] = self._stats(num)
         return last
 
-    def _forward_full_episodes(self, pi, num: int, replay) -> Dict[str, Any]:
+    def _forward_full_episodes(self, pi, num: int, replay, recent_replay=None) -> Dict[str, Any]:
         """Cache per-worker trajectories; only full episodes enter the replay
         (reference rollout.py:116-283), with the DD-PPO-style straggler
         cutoff (rollout.py:219-221): once this host has >=80% of its quota
@@ -261,6 +276,8 @@ class Rollout:
                 pi.reset_rnn_states(trans["episode_dones"])
             self.episode_stats.push(trans["rewards"][:, 0], trans["episode_dones"][:, 0], trans.get("infos"))
             pushed = replay.cache_trajectories(trans, max_push=num - total)
+            if recent_replay is not None:
+                recent_replay.push_batch({k: v for k, v in trans.items() if k != "infos"})
             total += pushed
             self.timer.tick("copy")
             last = trans

@@ -26,9 +26,11 @@ from .geometry import (
     axangle2quat,
     euler2quat,
     normalize_and_clip_in_interval,
+    pose_vec_distance,
     qinverse,
     qmult,
     qrotate,
+    quaternion_distance,
     rew_close_to_target,
 )
 
@@ -38,6 +40,7 @@ __all__ = [
     "build_joint_controllers",
     "BasePolicy", "Evaluator",
     "Pose", "qmult", "qinverse", "qrotate", "euler2quat", "axangle2quat",
-    "apply_pose_to_points", "angle_distance",
+    "apply_pose_to_points", "angle_distance", "quaternion_distance",
+    "pose_vec_distance",
     "normalize_and_clip_in_interval", "rew_close_to_target",
 ]

@@ -163,14 +163,22 @@ def rew_close_to_target(pos, vel, target_pos, max_dist=1, max_vel=1,
 
 
 def angle_distance(q0, q1) -> float:
-    """Rotation angle between two quaternions, normalized to [0, 1]
-    (contrib.py:166)."""
+    """Rotation angle between two quaternions, /pi-normalized
+    (reference utils/geometry.py:62-64, used by BaseEnv's actor-static
+    check): ``2*arctan2(||v||, w)/pi`` of the relative quaternion — NOT
+    canonicalized, so a negative-w relative rotation exceeds 1.0 exactly
+    as the reference's does."""
     qd = qmult(qinverse(np.asarray(q0, np.float64)), np.asarray(q1, np.float64))
-    theta = 2 * np.arccos(np.clip(abs(qd[0]), -1.0, 1.0))
+    theta = 2 * np.arctan2(float(np.linalg.norm(qd[1:])), float(qd[0]))
     return float(theta / np.pi)
 
 
-def pose_vec_distance(pose1: Pose, pose2: Pose) -> Tuple[float, float]:
-    """(translation distance, rotation distance) between poses
-    (contrib.py:189)."""
-    return float(norm(pose1.p - pose2.p)), angle_distance(pose1.q, pose2.q)
+def quaternion_distance(q1, q2) -> float:
+    """``1 - |w|`` of the relative quaternion (contrib.py:175-179)."""
+    qd = qmult(qinverse(np.asarray(q1, np.float64)), np.asarray(q2, np.float64))
+    return float(1.0 - abs(qd[0]))
+
+
+def pose_vec_distance(pose1: Pose, pose2: Pose) -> float:
+    """``dist_p + 0.01 * quaternion_distance`` (contrib.py:189-192)."""
+    return float(norm(pose1.p - pose2.p)) + 0.01 * quaternion_distance(pose1.q, pose2.q)

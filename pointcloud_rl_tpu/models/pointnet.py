@@ -173,10 +173,12 @@ class PointNet(nn.Module):
         feature = preprocess_pointcloud(obs)  # [B, N, C]
         if self._fused_supported():
             from ..ops.pointnet_fused import fused_pointnet_body
+            from .blocks import resolve_dtype
 
             params = (self.fw1, self.fb1, self.fw2, self.fb2, self.fg2, self.fe2,
                       self.fw3, self.fb3, self.fg3, self.fe3)
-            pooled = fused_pointnet_body(feature.astype(jnp.float32), params)
+            pooled = fused_pointnet_body(feature.astype(jnp.float32), params, 512, 8,
+                                         resolve_dtype(self.dtype))
             if self.out_channels is not None:
                 pooled = self.final_ln(self.final_dense(pooled))
             return pooled

@@ -152,6 +152,22 @@ def test_quaternion_roundtrip_and_angle_distance():
     # 90 deg about z = 0.5 normalized angle distance
     q90 = axangle2quat([0, 0, 1], np.pi / 2)
     assert angle_distance([1, 0, 0, 0], q90) == pytest.approx(0.5)
+    # negative-w relative rotation exceeds 1.0 (reference geometry.py:62-64
+    # arctan2 form, NOT canonicalized): 270 deg about z -> 1.5
+    q270 = axangle2quat([0, 0, 1], 3 * np.pi / 2)
+    assert angle_distance([1, 0, 0, 0], q270) == pytest.approx(1.5)
+
+
+def test_quaternion_and_pose_vec_distance():
+    from pointcloud_rl_tpu.mani import Pose, pose_vec_distance, quaternion_distance
+
+    q90 = axangle2quat([0, 0, 1], np.pi / 2)
+    # contrib.py:175-179: 1 - |w| of the relative quaternion
+    assert quaternion_distance([1, 0, 0, 0], q90) == pytest.approx(1 - np.cos(np.pi / 4))
+    assert quaternion_distance(q90, q90) == pytest.approx(0.0)
+    # contrib.py:189-192: dist_p + 0.01 * quaternion_distance, one float
+    d = pose_vec_distance(Pose([0, 0, 0], [1, 0, 0, 0]), Pose([3, 4, 0], q90))
+    assert d == pytest.approx(5.0 + 0.01 * (1 - np.cos(np.pi / 4)))
 
 
 def test_apply_pose_to_points_matches_matrix():

@@ -1,6 +1,8 @@
-"""Pallas kernel tests (interpret mode on the CPU test mesh): the fused
-PointNet body must match the plain-XLA reference numerically, forward and
-backward, including the duplicate-point padding path."""
+"""Fused-PointNet-body tests (the XLA+winner-backward path on the CPU test
+mesh; the Pallas forward compiles only on real TPU): forward must match a
+plain autodiff reference bit-for-bit and the winner-gather backward must
+match autodiff gradients (ties excepted — winner routing is torch ``max``
+semantics, reference pointnet.py:151)."""
 
 import jax
 import jax.numpy as jnp
@@ -8,9 +10,15 @@ import numpy as np
 import pytest
 
 from pointcloud_rl_tpu.ops.pointnet_fused import (
-    _reference_body,
+    _body_rows,
     fused_pointnet_body,
 )
+
+
+def _reference_body(x, params):
+    """Plain autodiff body + max-pool (ground truth)."""
+    B, N, C = x.shape
+    return _body_rows(x.reshape(B * N, C), params, None).reshape(B, N, -1).max(axis=-2)
 
 
 def _params(rng, c_in=9, dims=(32, 64, 128)):
