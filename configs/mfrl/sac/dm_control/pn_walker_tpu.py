@@ -1,0 +1,27 @@
+_base_ = ["./pn.py"]
+
+# The 500k x {1000,2000,3000} walker_walk reference protocol
+# (reference README.md:51 seeds, configs/mfrl/sac/dm_control/pn.py:62-79
+# budget: 500k env steps, batch 256, replay 100k, gamma 0.99), shaped for
+# TPU wall-clock: 16 pipelined env workers on the host core, 16 env steps :
+# 16 gradient steps per cycle (the same 1:1 ratio as the reference's
+# n_steps=1/n_updates=1), the Pallas fused PointNet body, and no
+# in-training evals (eval checkpoints separately via --evaluation, exactly
+# like the round-2 runs).
+
+env_cfg = dict(env_name="dmc_walker_walk-v0")
+
+agent_cfg = dict(
+    actor_cfg=dict(nn_cfg=dict(visual_nn_cfg=dict(fused=True))),
+)
+
+rollout_cfg = dict(num_procs=16, pipeline_groups=4)
+
+train_cfg = dict(
+    n_steps=16,
+    n_updates=16,
+    n_eval=-1,
+    n_checkpoint=50000,
+    save_replay=50000,
+    total_steps=500000,
+)

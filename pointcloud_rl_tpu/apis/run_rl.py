@@ -79,6 +79,17 @@ def main(args=None) -> None:
     if args.cfg_options:
         cfg.merge_from_dict(args.cfg_options)
 
+    # Honor JAX_PLATFORMS even when a sitecustomize pre-registered a device
+    # plugin at interpreter start (observed: the axon TPU plugin forces
+    # itself regardless of the env var, so `JAX_PLATFORMS=cpu python -m
+    # ...run_rl` silently ran on the tunneled TPU).  jax.config wins over
+    # the plugin's default as long as no backend has been initialized yet.
+    _plat = os.environ.get("JAX_PLATFORMS", "")
+    if _plat and "axon" not in _plat and "tpu" not in _plat:
+        import jax
+
+        jax.config.update("jax_platforms", _plat)
+
     seed = set_host_seed(args.seed)
     work_dir = build_work_dir(cfg, args.config, args.work_dir, args.seed)
     logger = get_logger("pcrl", work_dir=work_dir)

@@ -49,6 +49,7 @@ def train_rl(
     ep_stats_cfg: Optional[dict] = None,
     expert_replay=None,
     recent_traj_replay=None,
+    stall_timeout: float = 0.0,
 ) -> None:
     """``save_replay=N``: snapshot the N most recent replay transitions next
     to each checkpoint (models/replay_latest.h5) so auto-resume continues
@@ -58,8 +59,22 @@ def train_rl(
     ``ep_stats_cfg`` configures EpisodicStatistics info-key reductions
     (reference train_rl.py:148,190), e.g.
     ``dict(info_keys_mode=dict(success=[True, "max", "all"]))`` to log
-    ManiSkill success rates as ``env/success_mean``."""
+    ManiSkill success rates as ``env/success_mean``.
+
+    ``stall_timeout``: seconds without loop progress before the stall
+    watchdog (utils/watchdog.py) declares the device session wedged, marks
+    the work dir (STALLED file) and exits nonzero so a supervisor rerunning
+    with ``--auto-resume`` continues warm.  0 disables."""
     logger = get_logger("pcrl")
+    watchdog = None
+    if stall_timeout and stall_timeout > 0:
+        from ..utils.watchdog import StallWatchdog
+
+        def _mark_stalled():
+            with open(osp.join(work_dir, "STALLED"), "a") as f:
+                f.write(f"{time.time()}\n")
+
+        watchdog = StallWatchdog(stall_timeout, on_stall=_mark_stalled)
     if expert_replay is not None:
         # Demo/expert dataset exposure (reference train_rl.py:295): agents
         # with demo-augmented objectives read ``agent.expert_replay`` inside
@@ -111,6 +126,8 @@ def train_rl(
 
     # ---- main loop ---------------------------------------------------------
     while steps < total_steps:
+        if watchdog is not None:
+            watchdog.pet()
         iter_t0 = time.monotonic()
         if on_policy and replay is not None:
             replay.reset()
@@ -260,7 +277,11 @@ def train_rl(
             std_step = eval_trigger.standard(steps)
             agent.eval()
             eval_dir = osp.join(work_dir, f"eval_{std_step}")
+            if watchdog is not None:
+                watchdog.pause()  # first eval can sit in compile for 10+ min
             lens, rewards, finishes = evaluator.run(agent, num=eval_num, work_dir=eval_dir)
+            if watchdog is not None:
+                watchdog.resume()
             if exp_logger is not None:
                 exp_logger.log(
                     {
@@ -285,6 +306,8 @@ def train_rl(
                 snap.to_hdf5(osp.join(work_dir, "models", "replay_latest.h5"))
                 logger.info(f"Saved replay snapshot ({len(snap)} transitions)")
 
+    if watchdog is not None:
+        watchdog.stop()
     if profiler_active:
         import jax
 

@@ -53,6 +53,37 @@ def euler2quat(ax: float, ay: float, az: float) -> np.ndarray:
     return qmult(qz, qmult(qy, qx))
 
 
+def mat2quat(R) -> np.ndarray:
+    """Rotation matrix -> wxyz quaternion (Shepperd's method)."""
+    R = np.asarray(R, np.float64)
+    t = np.trace(R)
+    if t > 0:
+        s = np.sqrt(t + 1.0) * 2
+        w = 0.25 * s
+        x = (R[2, 1] - R[1, 2]) / s
+        y = (R[0, 2] - R[2, 0]) / s
+        z = (R[1, 0] - R[0, 1]) / s
+    elif R[0, 0] >= R[1, 1] and R[0, 0] >= R[2, 2]:
+        s = np.sqrt(1.0 + R[0, 0] - R[1, 1] - R[2, 2]) * 2
+        w = (R[2, 1] - R[1, 2]) / s
+        x = 0.25 * s
+        y = (R[0, 1] + R[1, 0]) / s
+        z = (R[0, 2] + R[2, 0]) / s
+    elif R[1, 1] >= R[2, 2]:
+        s = np.sqrt(1.0 + R[1, 1] - R[0, 0] - R[2, 2]) * 2
+        w = (R[0, 2] - R[2, 0]) / s
+        x = (R[0, 1] + R[1, 0]) / s
+        y = 0.25 * s
+        z = (R[1, 2] + R[2, 1]) / s
+    else:
+        s = np.sqrt(1.0 + R[2, 2] - R[0, 0] - R[1, 1]) * 2
+        w = (R[1, 0] - R[0, 1]) / s
+        x = (R[0, 2] + R[2, 0]) / s
+        y = (R[1, 2] + R[2, 1]) / s
+        z = 0.25 * s
+    return qnorm([w, x, y, z])
+
+
 def quat2mat(q: np.ndarray) -> np.ndarray:
     w, x, y, z = qnorm(q)
     return np.array([
@@ -99,6 +130,11 @@ class Pose:
         m[:3, :3] = quat2mat(self.q)
         m[:3, 3] = self.p
         return m
+
+    @classmethod
+    def from_transformation_matrix(cls, m) -> "Pose":
+        m = np.asarray(m, np.float64)
+        return cls(m[:3, 3], mat2quat(m[:3, :3]))
 
     def __repr__(self):
         return f"Pose(p={self.p.tolist()}, q={self.q.tolist()})"

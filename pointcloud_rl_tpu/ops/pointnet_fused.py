@@ -17,8 +17,12 @@ Layer pattern matches the shipped configs (mlp_spec of 3, ignore_first_ln):
     out = max over points of h3
 
 Mixed precision mirrors the validated XLA bf16 path (models/blocks.py
-DenseBlock): matmul INPUTS are bf16 (MXU native) with f32 accumulation,
-LayerNorm statistics and outputs stay f32, the pooled output is f32.
+DenseBlock): matmuls compute and emit bf16 (f32 accumulation inside the
+MXU), LayerNorm statistics/affine run in f32, and the post-LN activation
+re-enters the next matmul as bf16 — the h3 the max sees is bf16, which is
+semantics-preserving because monotonic rounding commutes with max and the
+model's final Dense(dtype=bf16) would cast the pooled value anyway.  The
+emitted pooled output is f32 (upcast of that bf16 value).
 
 Backward: the max-pool routes each output channel's gradient through ONE
 winner point (the argmax — torch ``max`` semantics, reference
@@ -56,10 +60,6 @@ def _use_pallas() -> bool:
     return jax.default_backend() == "tpu"
 
 
-def _cast_in(h, compute_dtype):
-    return h.astype(compute_dtype) if compute_dtype is not None else h
-
-
 def _ln_f32(a, gamma, beta):
     mu = a.mean(axis=-1, keepdims=True)
     var = ((a - mu) ** 2).mean(axis=-1, keepdims=True)
@@ -67,22 +67,34 @@ def _ln_f32(a, gamma, beta):
 
 
 def _body_rows(x, params, compute_dtype):
-    """The 3-layer body on [rows, C_in] -> [rows, C_out] (f32 out).
+    """The 3-layer body on [rows, C_in] -> [rows, C_out].
 
-    Matmul inputs cast to ``compute_dtype`` (bf16 under mixed precision),
-    accumulation and LN in f32 — bit-identical policy to DenseBlock.
+    Mirrors DenseBlock's mixed-precision policy exactly: the Dense layers
+    compute AND emit in ``compute_dtype`` (flax Dense with dtype=bf16 casts
+    inputs/params to bf16 and stores bf16 outputs; the MXU still
+    accumulates f32 internally), LayerNorm statistics and affine run in
+    f32, and the post-LN activation is consumed by the next matmul as bf16.
+    Output dtype is ``compute_dtype`` (or f32 when None) — for the final
+    max-pool this is semantics-preserving: rounding is monotonic, so
+    max(round(h)) == round(max(h)), the exact value the model's final
+    Dense(dtype=bf16) would see.
     """
     (w1, b1, w2, b2, g2, be2, w3, b3, g3, be3) = params
-    xc = _cast_in(x, compute_dtype)
-    a1 = jnp.dot(xc, _cast_in(w1, compute_dtype), preferred_element_type=jnp.float32) + b1
-    h1 = jnp.maximum(a1, 0.0)
-    a2 = jnp.dot(_cast_in(h1, compute_dtype), _cast_in(w2, compute_dtype),
-                 preferred_element_type=jnp.float32) + b2
-    h2 = jnp.maximum(_ln_f32(a2, g2, be2), 0.0)
-    a3 = jnp.dot(_cast_in(h2, compute_dtype), _cast_in(w3, compute_dtype),
-                 preferred_element_type=jnp.float32) + b3
-    h3 = jnp.maximum(_ln_f32(a3, g3, be3), 0.0)
-    return h3
+    if compute_dtype is None:
+        a1 = jnp.dot(x, w1, preferred_element_type=jnp.float32) + b1
+        h1 = jnp.maximum(a1, 0.0)
+        a2 = jnp.dot(h1, w2, preferred_element_type=jnp.float32) + b2
+        h2 = jnp.maximum(_ln_f32(a2, g2, be2), 0.0)
+        a3 = jnp.dot(h2, w3, preferred_element_type=jnp.float32) + b3
+        return jnp.maximum(_ln_f32(a3, g3, be3), 0.0)
+    c = compute_dtype
+    # f32 accumulate (mosaic requires 32-bit matmul acc), result stored bf16
+    dot = lambda a, b: jnp.dot(a.astype(c), b.astype(c), preferred_element_type=jnp.float32)
+    h1 = jnp.maximum(dot(x, w1) + b1, 0.0).astype(c)
+    a2 = dot(h1, w2) + b2
+    h2 = jnp.maximum(_ln_f32(a2, g2, be2), 0.0).astype(c)
+    a3 = dot(h2, w3) + b3
+    return jnp.maximum(_ln_f32(a3, g3, be3), 0.0).astype(c)
 
 
 def _tile_max_argmax(h3, tn):
@@ -106,7 +118,9 @@ def _fwd_kernel(x_ref, w1, b1, w2, b2, g2, be2, w3, b3, g3, be3,
     params = (w1[...], b1[...], w2[...], b2[...], g2[...], be2[...],
               w3[...], b3[...], g3[...], be3[...])
     h3 = _body_rows(x, params, compute_dtype).reshape(tb, tn, -1)
-    tile_max, tile_idx = _tile_max_argmax(h3, tn)
+    # max/argmax in f32: lossless upcast of the (bf16-rounded) h3 values,
+    # and bf16 3-D broadcast compares trip a mosaic relayout bug
+    tile_max, tile_idx = _tile_max_argmax(h3.astype(jnp.float32), tn)
     tile_idx = tile_idx + i_n * tn  # global point index
 
     @pl.when(i_n == 0)
@@ -121,10 +135,34 @@ def _fwd_kernel(x_ref, w1, b1, w2, b2, g2, be2, w3, b3, g3, be3,
         idx_ref[...] = jnp.where(upd, tile_idx, idx_ref[...])
 
 
-def _forward_pallas(x, params, tile_n, tile_b, compute_dtype):
+def _fwd_kernel_max_only(x_ref, w1, b1, w2, b2, g2, be2, w3, b3, g3, be3,
+                         out_ref, *, compute_dtype):
+    """No-argmax variant for undifferentiated forwards (the SAC update's
+    target and next-obs encodes): skips the eq/iota/min winner search —
+    only the backward needs winner indices."""
+    i_n = pl.program_id(1)
+    tb, tn, c_in = x_ref.shape
+    x = x_ref[...].reshape(tb * tn, c_in)
+    params = (w1[...], b1[...], w2[...], b2[...], g2[...], be2[...],
+              w3[...], b3[...], g3[...], be3[...])
+    h3 = _body_rows(x, params, compute_dtype).reshape(tb, tn, -1)
+    tile_max = h3.astype(jnp.float32).max(axis=1)
+
+    @pl.when(i_n == 0)
+    def _():
+        out_ref[...] = tile_max
+
+    @pl.when(i_n != 0)
+    def _():
+        out_ref[...] = jnp.maximum(out_ref[...], tile_max)
+
+
+def _forward_pallas(x, params, tile_n, tile_b, compute_dtype, with_idx=True):
     (w1, *_rest) = params
     B, N, C_in = x.shape
     C_out = params[6].shape[-1]
+    if compute_dtype is not None:
+        x = x.astype(compute_dtype)  # halve the x HBM read + VMEM tiles
     n_pad = -N % tile_n
     if n_pad:
         x = jnp.concatenate([x, jnp.broadcast_to(x[:, :1], (B, n_pad, C_in))], axis=1)
@@ -140,34 +178,38 @@ def _forward_pallas(x, params, tile_n, tile_b, compute_dtype):
         + params[2].shape[-1] * C_out
     )
     weight_spec = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
-    pooled, idx = pl.pallas_call(
-        functools.partial(_fwd_kernel, compute_dtype=compute_dtype),
+    row_spec = lambda: pl.BlockSpec((tile_b, C_out), lambda b, n: (b, 0), memory_space=pltpu.VMEM)
+    kernel = _fwd_kernel if with_idx else _fwd_kernel_max_only
+    out_specs = [row_spec(), row_spec()] if with_idx else row_spec()
+    out_shape = [
+        jax.ShapeDtypeStruct((x.shape[0], C_out), jnp.float32),
+        jax.ShapeDtypeStruct((x.shape[0], C_out), jnp.int32),
+    ]
+    outs = pl.pallas_call(
+        functools.partial(kernel, compute_dtype=compute_dtype),
         grid=(b_tiles, n_tiles),
         in_specs=[
             pl.BlockSpec((tile_b, tile_n, C_in), lambda b, n: (b, n, 0), memory_space=pltpu.VMEM),
             *[weight_spec() for _ in range(10)],
         ],
-        out_specs=[
-            pl.BlockSpec((tile_b, C_out), lambda b, n: (b, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile_b, C_out), lambda b, n: (b, 0), memory_space=pltpu.VMEM),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((x.shape[0], C_out), jnp.float32),
-            jax.ShapeDtypeStruct((x.shape[0], C_out), jnp.int32),
-        ],
+        out_specs=out_specs,
+        out_shape=out_shape if with_idx else out_shape[0],
         cost_estimate=pl.CostEstimate(
             flops=flops, bytes_accessed=x.size * x.dtype.itemsize, transcendentals=0
         ),
     )(x, *params)
+    pooled, idx = outs if with_idx else (outs, None)
     if b_pad:
-        pooled, idx = pooled[:B], idx[:B]
+        pooled = pooled[:B]
+        idx = idx[:B] if idx is not None else None
     return pooled, idx
 
 
 def _forward_xla(x, params, compute_dtype):
     B, N, C_in = x.shape
     h3 = _body_rows(x.reshape(B * N, C_in), params, compute_dtype).reshape(B, N, -1)
-    return _tile_max_argmax(h3, N)
+    m, idx = _tile_max_argmax(h3, N)
+    return m.astype(jnp.float32), idx
 
 
 # --------------------------------------------------------------- backward
@@ -250,7 +292,7 @@ def fused_pointnet_body(x, params, tile_n: int = 512, tile_b: int = 8,
     Returns [B, C_out] pooled features (f32).  ``compute_dtype=jnp.bfloat16``
     enables mixed-precision matmuls (same policy as DenseBlock)."""
     if _use_pallas():
-        pooled, _ = _forward_pallas(x, params, tile_n, tile_b, compute_dtype)
+        pooled, _ = _forward_pallas(x, params, tile_n, tile_b, compute_dtype, with_idx=False)
     else:
         pooled, _ = _forward_xla(x, params, compute_dtype)
     return pooled

@@ -75,3 +75,41 @@ def test_run_with_mini_batch():
     out = run_with_mini_batch(wrapped, data, batch_size=4)
     np.testing.assert_array_equal(out["y"], np.arange(10) * 2)
     assert all(s == (4,) for s in calls)  # tail padded, single compile shape
+
+
+def test_stall_watchdog_fires_and_marks(tmp_path):
+    """Injected hang: no pets past the timeout -> on_stall callback runs
+    (host-only marker) and the process-exit hook is invoked with the
+    configured code (utils/watchdog.py)."""
+    import time
+
+    from pointcloud_rl_tpu.utils.watchdog import StallWatchdog
+
+    exits = []
+    marker = tmp_path / "STALLED"
+
+    def on_stall():
+        marker.write_text("wedged")
+
+    wd = StallWatchdog(timeout_s=0.4, poll_s=0.1, on_stall=on_stall,
+                       exit_code=3, _exit=lambda code: exits.append(code))
+    try:
+        # petting keeps it alive
+        for _ in range(4):
+            wd.pet()
+            time.sleep(0.15)
+        assert not wd.fired and not exits
+        # paused sections (long first compiles) never fire
+        wd.pause()
+        time.sleep(0.6)
+        assert not wd.fired
+        wd.resume()
+        # now hang: no pets
+        deadline = time.monotonic() + 5
+        while not exits and time.monotonic() < deadline:
+            time.sleep(0.05)
+        assert exits == [3]
+        assert wd.fired
+        assert marker.read_text() == "wedged"
+    finally:
+        wd.stop()

@@ -23,6 +23,8 @@ def test_obs_contract_and_geometry(env):
     obs = env.reset(level=3)
     assert obs["xyz"].shape == (3, env.n_points) and obs["xyz"].dtype == np.float32
     assert obs["rgb"].dtype == np.uint8 and obs["seg"].shape[0] == 3
+    # the default robot is the benchmark's own mobile A2 dual arm
+    assert env.robot == "a2_dual" and obs["state"].shape == (68,)
     # unprojection sanity: no point below the ground, and the bucket-mask
     # points cluster around the bucket's world position
     xyz = obs["xyz"].T
@@ -32,11 +34,11 @@ def test_obs_contract_and_geometry(env):
     center = xyz[bucket_mask].mean(axis=0)
     true_center = env.data.xpos[env._bucket_body]
     assert np.linalg.norm(center[:2] - true_center[:2]) < 0.3, (center, true_center)
-    # robot (gripper) points exist and sit near the gripper
+    # robot points exist and sit near the robot base (xy)
     robot_mask = obs["seg"][2].astype(bool)
     assert robot_mask.sum() > 10
-    grip = env.data.xpos[env._gripper_body]
-    assert np.linalg.norm(xyz[robot_mask].mean(axis=0) - grip) < 0.5
+    base = env.agent.base_link_pos()
+    assert np.linalg.norm(xyz[robot_mask].mean(axis=0)[:2] - base[:2]) < 0.8
 
 
 def test_level_seeding_samples_split_models(env):
@@ -54,13 +56,16 @@ def test_level_seeding_samples_split_models(env):
 
 def test_step_reward_and_eval_flags(env):
     env.reset(level=5)
-    obs, reward, done, info = env.step(np.zeros(6, np.float32))
+    obs, reward, done, info = env.step(np.zeros(env.action_space.shape, np.float32))
     assert np.isfinite(reward)
     ev = info["eval_info"]
     assert set(ev) == {"ball_in_bucket", "bucket_above_platform", "bucket_standing",
                        "bucket_static", "success"}
     assert not ev["success"]
-    assert "dist_reach" in info and "dist_target" in info
+    # staged-reward decomposition (reference move_bucket.py:253-266)
+    for key in ("dist_ee_actor", "dist_pos", "dist_ori", "ees_oppo", "stage_reward"):
+        assert key in info, key
+    assert info["stage_reward"] <= -18  # far from the bucket at reset
 
 
 def test_success_when_bucket_placed(env):
@@ -79,7 +84,7 @@ def test_success_when_bucket_placed(env):
     mujoco.mj_forward(env.model, env.data)
     flags_seen = []
     for _ in range(env.keep_good_steps_threshold + 4):
-        _, _, done, info = env.step(np.zeros(6, np.float32))
+        _, _, done, info = env.step(np.zeros(env.action_space.shape, np.float32))
         flags_seen.append(info["eval_info"])
         if done:
             break
@@ -95,5 +100,66 @@ def test_state_obs_mode():
         s = env.reset(level=1)
         assert s.ndim == 1 and np.isfinite(s).all()
         assert len(env.split_models) == 4  # the benchmark's val split
+    finally:
+        env.close()
+
+
+def test_gripper_variant_still_works():
+    """The round-2 floating-gripper path stays selectable for old work dirs."""
+    from pointcloud_rl_tpu.env.builder import build_env
+
+    env = build_env(dict(type="gym", env_name="MoveBucketMJC_train-v0",
+                         obs_mode="state", robot="gripper"))
+    try:
+        env.reset(level=2)
+        assert env.action_space.shape == (6,)
+        _, r, _, info = env.step(np.zeros(6, np.float32))
+        assert np.isfinite(r) and "dist_reach" in info
+    finally:
+        env.close()
+
+
+def test_a2_robot_controllers_and_obs_layout():
+    """A2 agent contract (reference agent.py:533-610): 22-dof dual arm,
+    YAML-built controller types, reference observation layout sizes, and
+    ego-frame base-velocity rotation."""
+    import mujoco
+
+    from pointcloud_rl_tpu.env.a2_robot import A2Robot, robot_assets_available
+    from pointcloud_rl_tpu.mani.controllers import PositionController, VelocityController
+
+    if not robot_assets_available():
+        pytest.skip("A2 assets unavailable")
+    rob = A2Robot("a2_dual", control_freq=50.0)
+    # base x/y/z-rot + height are velocity joints; fingers are position
+    assert isinstance(rob.controllers[0], VelocityController)
+    assert isinstance(rob.controllers[11], PositionController)  # right finger 1
+    assert len(rob.controllers) == 22 and rob.action_range.shape == (22, 2)
+    assert rob.action_range[2, 1] == pytest.approx(3.14)  # base yaw rate
+
+    env_like = None
+    from pointcloud_rl_tpu.env.mujoco_manipulation import MoveBucketEnv
+
+    env = MoveBucketEnv(split="val", obs_mode="state", robot="a2_dual")
+    try:
+        env.seed(0)
+        env.reset(level=2)
+        rob = env.agent
+        assert rob.get_obs(False).shape == (68,)  # 12+12+2+1+19+19+2+1
+        assert rob.get_obs(True).shape == (65,)   # ego drops base_pos/orientation
+        assert rob.get_ee_coords().shape == (4, 3)
+        # ego action: +x command rotates by the base yaw
+        rob.set_state({"base_orientation": np.pi / 2, "base_vel": [0, 0]})
+        mujoco.mj_forward(env.model, env.data)
+        for c in rob.controllers[:2]:
+            c.lp_filter.reset()
+        act = np.zeros(22)
+        act[0] = 0.5
+        rob.set_action(rob.scale_action(act), ego_mode=True)
+        ctrl_xy = env.data.ctrl[:2]
+        assert abs(ctrl_xy[0]) < 1e-6 and ctrl_xy[1] > 0.05, ctrl_xy
+        # scale_action maps [-1,1] onto the YAML action ranges
+        hi = rob.scale_action(np.ones(22))
+        assert hi[0] == pytest.approx(0.5) and hi[2] == pytest.approx(3.14)
     finally:
         env.close()
