@@ -137,14 +137,16 @@ def get_env_info(env_cfg: dict, env: Optional[Env] = None) -> Dict[str, Any]:
             env.close()
 
 
-def build_vec_env(env_cfg: dict, num_procs: int = 1, base_seed: Optional[int] = None, **override) -> UnifiedVectorEnvAPI:
+def build_vec_env(env_cfg: dict, num_procs: int = 1, base_seed: Optional[int] = None,
+                  vec_backend: Optional[str] = None, **override) -> UnifiedVectorEnvAPI:
     cfgs = []
     for i in range(num_procs):
         cfg = deepcopy(dict(env_cfg))
         cfg.update(override)
         cfgs.append(cfg)
     seeds = None if base_seed is None else [base_seed + i for i in range(num_procs)]
-    return build_vec_env_from_cfgs(cfgs, seeds=seeds, use_subprocess=num_procs > 1)
+    return build_vec_env_from_cfgs(cfgs, seeds=seeds, use_subprocess=num_procs > 1,
+                                   backend=vec_backend)
 
 
 def build_rollout(cfg, default_args=None):

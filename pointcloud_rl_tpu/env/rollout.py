@@ -31,9 +31,11 @@ class Rollout:
         full_episode: bool = False,
         base_seed: Optional[int] = None,
         pipeline_groups: Optional[int] = None,
+        vec_backend: Optional[str] = None,
         **kwargs,
     ):
-        self.vec_env = build_vec_env(env_cfg, num_procs, base_seed=base_seed)
+        self.vec_env = build_vec_env(env_cfg, num_procs, base_seed=base_seed,
+                                     vec_backend=vec_backend)
         self.num_envs = self.vec_env.num_envs
         self.full_episode = full_episode
         self.with_info = with_info

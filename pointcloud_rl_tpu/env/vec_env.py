@@ -331,6 +331,111 @@ class VectorEnv(VectorEnvBase):
             self._shm = None
 
 
+class ThreadBasedVectorEnv(VectorEnvBase):
+    """N in-process envs stepped by a thread pool.
+
+    Parity target: reference ``SapienThreadEnv`` (vec_env.py:822-918) — an
+    in-process vectorized env whose per-env step_async/wait runs on threads,
+    for simulators that release the GIL during stepping (SAPIEN's
+    step_async there; MuJoCo's ``mj_step`` here).  Redesigned for this
+    stack: instead of SAPIEN's internal sim/render thread stages and torch
+    buffer planes, each env steps inside a ``ThreadPoolExecutor`` future and
+    ships numpy obs directly — no pipes, no shared-memory plane, no pickling
+    (the win over subprocess workers on a single-core host is the removed
+    IPC; the loss is GIL contention for pure-Python envs).
+    """
+
+    def __init__(self, env_cfgs, seeds: Optional[List[int]] = None):
+        from concurrent.futures import ThreadPoolExecutor
+
+        from .builder import build_env
+
+        self.num_envs = len(env_cfgs)
+        self.envs = [build_env(cfg) for cfg in env_cfgs]
+        seeds = seeds or [None] * self.num_envs
+        for env, s in zip(self.envs, seeds):
+            if s is not None:
+                env.seed(s)
+        self.single_action_space = self.envs[0].action_space
+        self.action_space = stack_action_space(self.single_action_space, self.num_envs)
+        self.is_discrete = getattr(self.envs[0], "is_discrete", False)
+        self.reward_scale = getattr(self.envs[0], "reward_scale", 1.0)
+        self._pool = ThreadPoolExecutor(max_workers=self.num_envs, thread_name_prefix="pcrl-env")
+        self._futures: Dict[int, Any] = {}
+
+    def _idx(self, idx):
+        return np.arange(self.num_envs) if idx is None else np.asarray(idx)
+
+    def reset(self, idx=None, level=None, **kwargs):
+        idx = self._idx(idx)
+
+        def _reset(rank, i):
+            kw = dict(kwargs)
+            if level is not None:
+                kw["level"] = level[rank] if isinstance(level, (list, np.ndarray)) else level
+            return self.envs[i].reset(**kw)
+
+        obs = list(self._pool.map(_reset, range(len(idx)), idx))
+        return tree_stack(obs, 0)
+
+    def step(self, actions, idx=None):
+        self.step_async(actions, idx)
+        return self.step_wait(idx)
+
+    def step_async(self, actions, idx=None) -> None:
+        idx = self._idx(idx)
+        for rank, i in enumerate(idx):
+            assert int(i) not in self._futures, f"env {i} already stepping"
+            self._futures[int(i)] = self._pool.submit(self.envs[i].step, actions[rank])
+
+    def step_poll(self, idx=None) -> bool:
+        idx = self._idx(idx)
+        return all(self._futures[int(i)].done() for i in idx)
+
+    def step_wait(self, idx=None):
+        idx = self._idx(idx)
+        results = [self._futures.pop(int(i)).result() for i in idx]
+        obs = tree_stack([r[0] for r in results], 0)
+        rewards = np.array([[np.float32(r[1])] for r in results])
+        dones = np.array([[bool(r[2])] for r in results])
+        infos = [r[3] for r in results]
+        return obs, rewards, dones, infos
+
+    def step_random_actions(self, num):
+        from ..utils.stats import split_num
+
+        counts = split_num(num, self.num_envs)
+        futures = [(i, self._pool.submit(self.envs[i].step_random_actions, n))
+                   for i, n in enumerate(counts) if n > 0]
+        outs = []
+        for i, f in futures:
+            out = f.result()
+            out["worker_indices"] = np.full_like(out["worker_indices"], i)
+            outs.append(out)
+        return tree_concat(outs, 0)
+
+    def render(self, mode="rgb_array", idx=None, **kwargs):
+        return [self.envs[i].render(mode, **kwargs) for i in self._idx(idx)]
+
+    def get_env_state(self):
+        return [env.get_env_state() for env in self.envs]
+
+    def call(self, name, *args, idx=None, **kwargs):
+        return [getattr(self.envs[i], name)(*args, **kwargs) for i in self._idx(idx)]
+
+    def get_attr(self, name, idx=None):
+        return getattr(self.envs[self._idx(idx)[0]], name)
+
+    def seed(self, seed):
+        for i, env in enumerate(self.envs):
+            env.seed(seed + i)
+
+    def close(self):
+        self._pool.shutdown(wait=True)
+        for env in self.envs:
+            env.close()
+
+
 class UnifiedVectorEnvAPI(VectorEnvBase):
     """Caches recent obs/actions, auto-resets, builds transition dicts
     (reference vec_env.py:38-246)."""
@@ -477,13 +582,24 @@ def _stack_infos(infos: List[dict]) -> Dict[str, np.ndarray]:
     return out
 
 
-def build_vec_env_from_cfgs(env_cfgs, seeds=None, use_subprocess: Optional[bool] = None) -> UnifiedVectorEnvAPI:
-    """Pick the single-env or subprocess implementation
-    (reference env_utils.py:220-258)."""
-    if use_subprocess is None:
-        use_subprocess = len(env_cfgs) > 1
-    if len(env_cfgs) == 1 and not use_subprocess:
+def build_vec_env_from_cfgs(env_cfgs, seeds=None, use_subprocess: Optional[bool] = None,
+                            backend: Optional[str] = None) -> UnifiedVectorEnvAPI:
+    """Pick the vec-env implementation (reference env_utils.py:220-258).
+
+    ``backend``: "subprocess" (default for >1 env), "thread"
+    (ThreadBasedVectorEnv — SapienThreadEnv analogue, for GIL-releasing
+    sims), or "single" (1 env in-process)."""
+    if backend is None:
+        if use_subprocess is None:
+            use_subprocess = len(env_cfgs) > 1
+        backend = "subprocess" if (len(env_cfgs) > 1 or use_subprocess) else "single"
+    if backend == "single":
+        assert len(env_cfgs) == 1, "backend='single' requires exactly one env cfg"
         base = SingleEnv2VecEnv(env_cfgs, seed=seeds[0] if seeds else None)
-    else:
+    elif backend == "thread":
+        base = ThreadBasedVectorEnv(env_cfgs, seeds=seeds)
+    elif backend == "subprocess":
         base = VectorEnv(env_cfgs, seeds=seeds)
+    else:
+        raise ValueError(f"unknown vec-env backend {backend!r}")
     return UnifiedVectorEnvAPI(base)

@@ -97,3 +97,67 @@ def values_to_colors(values: np.ndarray, cmap: str = "jet") -> np.ndarray:
     lo, hi = values.min(), values.max()
     norm = (values - lo) / max(hi - lo, 1e-9)
     return np.asarray(cm.get_cmap(cmap)(norm))[..., :3]
+
+
+# ------------------------------------------------------- feature analysis
+def kmeans(x: np.ndarray, n_clusters: Optional[int] = None, center: Optional[np.ndarray] = None,
+           seed: int = 0):
+    """K-means clustering of feature rows (reference visualization/cluster.py:5):
+    fit when ``center`` is None, else assign to the given centers.
+    Returns (center [K,D], pred [N], error [N])."""
+    from sklearn.cluster import KMeans
+
+    x = np.asarray(x)
+    if center is None:
+        km = KMeans(n_clusters=n_clusters, random_state=seed, n_init=10).fit(x)
+        pred, center = km.labels_, km.cluster_centers_
+    else:
+        pred = np.argmin(np.linalg.norm(x[..., None, :] - center, axis=-1), axis=-1)
+    error = np.linalg.norm(x - center[pred], axis=-1)
+    return center, pred, error
+
+
+def feature_similarity(feat1: np.ndarray, feat2: np.ndarray, batchsize: int = 400, k: int = 128) -> np.ndarray:
+    """Per-row kNN-neighborhood IoU between two feature spaces (reference
+    visualization/feat_sim.py:18): how much of each sample's k-nearest
+    neighborhood is preserved across representations.  Returns [N] in [0,1]."""
+    from sklearn.neighbors import KDTree
+
+    feat1, feat2 = np.asarray(feat1), np.asarray(feat2)
+    assert feat1.ndim == 2 and feat1.shape[0] == feat2.shape[0], f"{feat1.shape} {feat2.shape}"
+    n = feat1.shape[0]
+    k = min(k, n)
+    kd1, kd2 = KDTree(feat1), KDTree(feat2)
+    ious = np.empty(n, np.float64)
+    for i in range(0, n, batchsize):
+        sl = slice(i, min(n, i + batchsize))
+        knn1 = kd1.query(feat1[sl], k=k)[1]
+        knn2 = kd2.query(feat2[sl], k=k)[1]
+        for r, (a, b) in enumerate(zip(knn1, knn2)):
+            inter = len(np.intersect1d(a, b))
+            ious[i + r] = inter / (2 * k - inter)
+    return ious
+
+
+def tsne_scatter(features: np.ndarray, labels: Optional[np.ndarray] = None,
+                 save_path: Optional[str] = None, seed: int = 0, perplexity: float = 30.0):
+    """2-D t-SNE embedding of feature rows, scatter-colored by ``labels``
+    (reference cluster/e.g. t-SNE analysis plots; sklearn.manifold.TSNE
+    replaces the reference's bokeh/cluster pipeline).  Returns the [N, 2]
+    embedding (and saves a PNG when ``save_path`` is given)."""
+    from sklearn.manifold import TSNE
+
+    features = np.asarray(features)
+    perplexity = min(perplexity, max(2.0, (len(features) - 1) / 3.0))
+    emb = TSNE(n_components=2, random_state=seed, perplexity=perplexity,
+               init="pca").fit_transform(features)
+    if save_path:
+        plt = _plt()
+        fig, ax = plt.subplots(figsize=(6, 6))
+        sc = ax.scatter(emb[:, 0], emb[:, 1], c=labels, s=8, cmap="tab10" if labels is not None else None)
+        if labels is not None:
+            fig.colorbar(sc, ax=ax, shrink=0.8)
+        ax.set_title("t-SNE")
+        fig.savefig(save_path, dpi=120, bbox_inches="tight")
+        plt.close(fig)
+    return emb

@@ -113,3 +113,32 @@ def test_stall_watchdog_fires_and_marks(tmp_path):
         assert marker.read_text() == "wedged"
     finally:
         wd.stop()
+
+
+def test_feature_analysis_visualization(tmp_path):
+    """kmeans / feature_similarity / tsne_scatter (reference
+    visualization/cluster.py:5, feat_sim.py:18, t-SNE cluster plots)."""
+    import numpy as np
+
+    from pointcloud_rl_tpu.utils.visualization import (feature_similarity, kmeans,
+                                                       tsne_scatter)
+
+    rng = np.random.RandomState(0)
+    # two well-separated blobs
+    x = np.concatenate([rng.randn(30, 8), rng.randn(30, 8) + 8.0])
+    center, pred, err = kmeans(x, n_clusters=2, seed=0)
+    assert center.shape == (2, 8) and pred.shape == (60,)
+    assert len(set(pred[:30])) == 1 and len(set(pred[30:])) == 1  # blobs separate
+    # assignment mode reuses given centers
+    _, pred2, _ = kmeans(x, center=center)
+    assert (pred2 == pred).all()
+
+    # identical feature spaces have IoU 1; unrelated ones lower
+    sim_same = feature_similarity(x, x.copy(), k=8)
+    assert np.allclose(sim_same, 1.0)
+    sim_rand = feature_similarity(x, rng.randn(60, 8), k=8)
+    assert sim_rand.mean() < 0.9
+
+    out = tmp_path / "tsne.png"
+    emb = tsne_scatter(x, labels=pred, save_path=str(out), seed=0)
+    assert emb.shape == (60, 2) and out.exists()

@@ -255,3 +255,58 @@ def test_mini_batch_sampler():
     assert np.concatenate([c["obs"][:, 0] for c in chunks]).tolist() == list(range(20))
     chunks = list(mem.mini_batch_sampler(8, drop_last=True))
     assert [len(c["obs"]) for c in chunks] == [8, 8]
+
+
+def test_vec_env_thread_backend():
+    """ThreadBasedVectorEnv (SapienThreadEnv analogue, reference
+    vec_env.py:822-918): in-process thread stepping through the Unified API —
+    step_dict, async/poll/wait on partial groups, random warm-up, call/attr."""
+    vec = build_vec_env(DIST_CFG, num_procs=3, base_seed=10, vec_backend="thread")
+    try:
+        from pointcloud_rl_tpu.env.vec_env import ThreadBasedVectorEnv
+
+        assert isinstance(vec.vec_env, ThreadBasedVectorEnv)
+        obs = vec.reset()
+        assert obs["xyz"].shape == (3, 3, 2)
+        actions = vec.random_actions()
+        trans = vec.step_dict(actions)
+        for key in ("obs", "next_obs", "prev_actions", "actions", "rewards",
+                    "dones", "episode_dones", "worker_indices"):
+            assert key in trans, key
+        assert trans["rewards"].shape == (3, 1)
+
+        # partial async stepping (the pipelined rollout's access pattern)
+        idx = np.array([0, 2])
+        vec.step_dict_async(actions[idx], idx=idx)
+        while not vec.step_dict_poll(idx=idx):
+            pass
+        part = vec.step_dict_wait(idx=idx)
+        assert part["worker_indices"].reshape(-1).tolist() == [0, 2]
+
+        # random warm-up path with worker index attribution
+        batch = vec.step_random_actions(6)
+        assert batch["worker_indices"].max() <= 2
+        assert len(batch["rewards"]) == 6
+
+        # call / get_attr fan-out
+        assert len(vec.call("get_env_state")) == 3
+        assert vec.get_attr("is_discrete") is False
+    finally:
+        vec.close()
+
+
+def test_vec_env_thread_matches_subprocess():
+    """Same seeds -> same first-step transition in thread and subprocess
+    backends (the backend must not change env semantics)."""
+    a = build_vec_env(DIST_CFG, num_procs=2, base_seed=7, vec_backend="thread")
+    b = build_vec_env(DIST_CFG, num_procs=2, base_seed=7)
+    try:
+        oa, ob = a.reset(), b.reset()
+        np.testing.assert_allclose(oa["xyz"], ob["xyz"])
+        act = np.full((2,) + np.asarray(a.single_action_space.sample()).shape, 0.1, np.float32)
+        ta, tb = a.step_dict(act.copy()), b.step_dict(act.copy())
+        np.testing.assert_allclose(ta["rewards"], tb["rewards"], rtol=1e-6)
+        np.testing.assert_allclose(ta["next_obs"]["xyz"], tb["next_obs"]["xyz"], rtol=1e-6)
+    finally:
+        a.close()
+        b.close()

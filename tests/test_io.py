@@ -123,3 +123,42 @@ def test_data_coder_quantize_cfg():
     assert enc["xyz"].dtype == np.int16 and enc["actions"].dtype == np.float32
     dec = coder.decode(enc)
     np.testing.assert_allclose(dec["xyz"], tree["xyz"], atol=1e-3)
+
+
+def test_file_client_backends(tmp_path):
+    """FileClient dispatch + registry (reference file_client.py:169): disk
+    backend reads bytes/text; lazy-dep backends raise ImportError only at
+    construction; custom backends register as decorator."""
+    import pytest
+
+    from pointcloud_rl_tpu.utils.file_client import (BaseStorageBackend,
+                                                     FileClient)
+
+    p = tmp_path / "blob.bin"
+    p.write_bytes(b"\x00\x01payload")
+    fc = FileClient("disk")
+    assert fc.get(p) == b"\x00\x01payload"
+    (tmp_path / "t.txt").write_text("hello")
+    assert fc.get_text(tmp_path / "t.txt") == "hello"
+
+    with pytest.raises(ValueError):
+        FileClient("nope")
+    # lmdb/pymemcache/ceph are not in this image: the gate must fire at
+    # CONSTRUCTION (registry itself stays importable), as in the reference.
+    for name in ("lmdb", "memcached", "ceph"):
+        with pytest.raises((ImportError, TypeError)):
+            FileClient(name, **({"db_path": str(tmp_path)} if name == "lmdb" else {}))
+
+    @FileClient.register_backend("rot13")
+    class Rot13Backend(BaseStorageBackend):
+        def get(self, filepath):
+            return self.get_text(filepath).encode()
+
+        def get_text(self, filepath):
+            import codecs
+            with open(filepath) as f:
+                return codecs.encode(f.read(), "rot13")
+
+    assert FileClient("rot13").get_text(tmp_path / "t.txt") == "uryyb"
+    with pytest.raises(KeyError):
+        FileClient.register_backend("rot13", Rot13Backend)
