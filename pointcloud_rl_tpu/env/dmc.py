@@ -301,6 +301,16 @@ class DMCEnv(Env):
 
     def close(self):
         self.env.close()
+        # Free the EGL render context from THIS thread: contexts are
+        # thread-affine, and leaving them to dm_control's atexit hook frees
+        # them from the main thread (EGL_BAD_ACCESS spam under the
+        # thread-based vec env).
+        try:
+            physics = getattr(self.env, "physics", None)
+            if physics is not None:
+                physics.free()
+        except Exception:
+            pass
 
 
 def parse_dmc_name(env_name: str):

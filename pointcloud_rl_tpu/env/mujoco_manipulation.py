@@ -221,6 +221,13 @@ def build_move_bucket_xml(model_dir: str, scale: float, plat_xy, bucket_xy,
         actuator = root.find("actuator")
         for a in rb_acts:
             actuator.append(a)
+        # The torso column (adjustable_body) spans the full height-joint
+        # travel and spawns intersecting the ground; the reference ignores
+        # that pair explicitly (agent.py:529 `gs[2] |= 1 << 30  # ignore
+        # collision with ground`).  The ground plane lives on the world
+        # body, so excluding the body pair is the exact MuJoCo equivalent.
+        contact = ET.SubElement(root, "contact")
+        ET.SubElement(contact, "exclude", dict(body1="adjustable_body", body2="world"))
     bucket = ET.SubElement(world, "body", dict(name="bucket",
                                                pos=f"{bucket_xy[0]} {bucket_xy[1]} 0.35"))
     ET.SubElement(bucket, "freejoint", dict(name="bucket_root"))

@@ -351,32 +351,39 @@ class ThreadBasedVectorEnv(VectorEnvBase):
         from .builder import build_env
 
         self.num_envs = len(env_cfgs)
-        self.envs = [build_env(cfg) for cfg in env_cfgs]
+        # ONE dedicated thread per env, and every interaction (including
+        # construction) runs on that thread: GL render contexts (EGL in
+        # dm_control, Vulkan in SAPIEN) are thread-affine — a context made
+        # current on one thread cannot be used from another.
+        self._pools = [ThreadPoolExecutor(max_workers=1, thread_name_prefix=f"pcrl-env{i}")
+                       for i in range(self.num_envs)]
+        self.envs = [p.submit(build_env, cfg).result()
+                     for p, cfg in zip(self._pools, env_cfgs)]
         seeds = seeds or [None] * self.num_envs
-        for env, s in zip(self.envs, seeds):
+        for p, env, s in zip(self._pools, self.envs, seeds):
             if s is not None:
-                env.seed(s)
+                p.submit(env.seed, s).result()
         self.single_action_space = self.envs[0].action_space
         self.action_space = stack_action_space(self.single_action_space, self.num_envs)
         self.is_discrete = getattr(self.envs[0], "is_discrete", False)
         self.reward_scale = getattr(self.envs[0], "reward_scale", 1.0)
-        self._pool = ThreadPoolExecutor(max_workers=self.num_envs, thread_name_prefix="pcrl-env")
         self._futures: Dict[int, Any] = {}
 
     def _idx(self, idx):
         return np.arange(self.num_envs) if idx is None else np.asarray(idx)
 
+    def _on(self, i, fn, *args, **kwargs):
+        return self._pools[int(i)].submit(fn, *args, **kwargs)
+
     def reset(self, idx=None, level=None, **kwargs):
         idx = self._idx(idx)
-
-        def _reset(rank, i):
+        futures = []
+        for rank, i in enumerate(idx):
             kw = dict(kwargs)
             if level is not None:
                 kw["level"] = level[rank] if isinstance(level, (list, np.ndarray)) else level
-            return self.envs[i].reset(**kw)
-
-        obs = list(self._pool.map(_reset, range(len(idx)), idx))
-        return tree_stack(obs, 0)
+            futures.append(self._on(i, self.envs[i].reset, **kw))
+        return tree_stack([f.result() for f in futures], 0)
 
     def step(self, actions, idx=None):
         self.step_async(actions, idx)
@@ -386,7 +393,7 @@ class ThreadBasedVectorEnv(VectorEnvBase):
         idx = self._idx(idx)
         for rank, i in enumerate(idx):
             assert int(i) not in self._futures, f"env {i} already stepping"
-            self._futures[int(i)] = self._pool.submit(self.envs[i].step, actions[rank])
+            self._futures[int(i)] = self._on(i, self.envs[i].step, actions[rank])
 
     def step_poll(self, idx=None) -> bool:
         idx = self._idx(idx)
@@ -405,7 +412,7 @@ class ThreadBasedVectorEnv(VectorEnvBase):
         from ..utils.stats import split_num
 
         counts = split_num(num, self.num_envs)
-        futures = [(i, self._pool.submit(self.envs[i].step_random_actions, n))
+        futures = [(i, self._on(i, self.envs[i].step_random_actions, n))
                    for i, n in enumerate(counts) if n > 0]
         outs = []
         for i, f in futures:
@@ -415,25 +422,27 @@ class ThreadBasedVectorEnv(VectorEnvBase):
         return tree_concat(outs, 0)
 
     def render(self, mode="rgb_array", idx=None, **kwargs):
-        return [self.envs[i].render(mode, **kwargs) for i in self._idx(idx)]
+        return [self._on(i, self.envs[i].render, mode, **kwargs).result() for i in self._idx(idx)]
 
     def get_env_state(self):
-        return [env.get_env_state() for env in self.envs]
+        return [self._on(i, e.get_env_state).result() for i, e in enumerate(self.envs)]
 
     def call(self, name, *args, idx=None, **kwargs):
-        return [getattr(self.envs[i], name)(*args, **kwargs) for i in self._idx(idx)]
+        return [self._on(i, getattr(self.envs[i], name), *args, **kwargs).result()
+                for i in self._idx(idx)]
 
     def get_attr(self, name, idx=None):
         return getattr(self.envs[self._idx(idx)[0]], name)
 
     def seed(self, seed):
         for i, env in enumerate(self.envs):
-            env.seed(seed + i)
+            self._on(i, env.seed, seed + i).result()
 
     def close(self):
-        self._pool.shutdown(wait=True)
-        for env in self.envs:
-            env.close()
+        for i, env in enumerate(self.envs):
+            self._on(i, env.close)
+        for p in self._pools:
+            p.shutdown(wait=True)
 
 
 class UnifiedVectorEnvAPI(VectorEnvBase):

@@ -134,6 +134,19 @@ def test_file_client_backends(tmp_path):
     from pointcloud_rl_tpu.utils.file_client import (BaseStorageBackend,
                                                      FileClient)
 
+    # the golden tests install a meta-path finder that serves MagicMock
+    # modules for lmdb & co. (tests/golden/ref_stubs.py); the lazy-import
+    # gate under test needs the REAL import failure, so park those finders
+    # (and any mock modules they produced) for the duration of this test.
+    import sys
+    from unittest import mock as _mock
+
+    parked = [f for f in sys.meta_path if type(f).__name__ == "_MockFinder"]
+    for f in parked:
+        sys.meta_path.remove(f)
+    parked_mods = {k: sys.modules.pop(k) for k in list(sys.modules)
+                   if isinstance(sys.modules[k], _mock.MagicMock)}
+
     p = tmp_path / "blob.bin"
     p.write_bytes(b"\x00\x01payload")
     fc = FileClient("disk")
@@ -145,9 +158,13 @@ def test_file_client_backends(tmp_path):
         FileClient("nope")
     # lmdb/pymemcache/ceph are not in this image: the gate must fire at
     # CONSTRUCTION (registry itself stays importable), as in the reference.
-    for name in ("lmdb", "memcached", "ceph"):
-        with pytest.raises((ImportError, TypeError)):
-            FileClient(name, **({"db_path": str(tmp_path)} if name == "lmdb" else {}))
+    try:
+        for name in ("lmdb", "memcached", "ceph"):
+            with pytest.raises((ImportError, TypeError)):
+                FileClient(name, **({"db_path": str(tmp_path)} if name == "lmdb" else {}))
+    finally:
+        sys.meta_path[:0] = parked
+        sys.modules.update(parked_mods)
 
     @FileClient.register_backend("rot13")
     class Rot13Backend(BaseStorageBackend):
