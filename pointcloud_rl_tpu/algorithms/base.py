@@ -132,9 +132,21 @@ class BaseAgent:
         ):
             packed, state = pack_pointcloud_obs(obs)
             obs = packed if state is None else {"state": state, "packed": packed}
+        model = getattr(self, "model", None)
+        if (
+            mode == "explore"
+            and getattr(self, "_fused_plan", None) is not None
+            and not (model is not None and getattr(model, "is_recurrent", False))
+        ):
+            # Armed act-fused updates (set_fused_updates): the act program
+            # carries a chunk of gradient steps — one dispatch, one fetch.
+            actions = self._fused_act_dispatch(obs)
+            if actions is not None:
+                if hasattr(actions, "copy_to_host_async"):
+                    actions.copy_to_host_async()
+                return actions
         if mode not in self._act_fns:
             self._act_fns[mode] = self._build_act(mode)
-        model = getattr(self, "model", None)
         if model is not None and getattr(model, "is_recurrent", False):
             leaf = obs if not isinstance(obs, dict) else next(iter(obs.values()))
             B = leaf.shape[0]

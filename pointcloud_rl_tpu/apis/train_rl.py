@@ -50,6 +50,7 @@ def train_rl(
     expert_replay=None,
     recent_traj_replay=None,
     stall_timeout: float = 0.0,
+    act_fused_updates: bool = False,
 ) -> None:
     """``save_replay=N``: snapshot the N most recent replay transitions next
     to each checkpoint (models/replay_latest.h5) so auto-resume continues
@@ -142,6 +143,7 @@ def train_rl(
         # pushes once at the end) — one-cycle staleness for full overlap.
         updates_dispatched = 0
         update_hook = None
+        fused_active = False
         if (
             n_steps > 0 and n_updates > 1 and rollout is not None and replay is not None
             and hasattr(agent, "update_parameters_scan")
@@ -152,6 +154,29 @@ def train_rl(
             events = max((n_steps // rollout.num_envs) * rollout.pipeline_groups, 1)
             chunk = max(1, n_updates // events)
             hook_state = {"t": 0.0}
+            # Opt-in: act-fused updates — the rollout's explore forwards
+            # carry the update chunks inside the act program (one dispatch +
+            # one fetch per group-step).  Measured SLOWER than the hooked
+            # path on the tunneled v5e (75 vs 96-99 steps/s, _prof8.py):
+            # the action fetch waits for its own update chunk, elongating
+            # the act->sim critical path more than the saved dispatches
+            # recoup — hence default-off, kept for locally-attached chips
+            # where dispatch cost dominates fetch latency.
+            fused_active = (
+                act_fused_updates
+                and hasattr(agent, "set_fused_updates")
+                and agent.set_fused_updates(replay, chunk, n_updates)
+            )
+
+        if not fused_active and update_hook is None and (
+            n_steps > 0 and n_updates > 1 and rollout is not None and replay is not None
+            and hasattr(agent, "update_parameters_scan")
+            and getattr(rollout, "pipeline_groups", 1) > 1
+            and type(replay).__name__ == "DeviceReplayMemory" and len(replay) > 0
+            and n_steps % rollout.num_envs == 0
+        ):
+            # Fallback: separate update-scan dispatches interleaved with the
+            # rollout via the mid-collection hook.
 
             def update_hook():
                 nonlocal lazy_vec_sum, lazy_count, total_updates, updates_dispatched
@@ -184,10 +209,21 @@ def train_rl(
         else:
             steps += 1  # offline mode progresses by update counting
 
+        if fused_active:
+            # Collect the device metric-vec sum the act-fused dispatches
+            # accumulated during the rollout; the remainder (if the rollout
+            # issued fewer explore forwards than planned) flushes below.
+            vec, done = agent.finish_fused_updates()
+            if vec is not None:
+                lazy_vec_sum = vec if lazy_vec_sum is None else lazy_vec_sum + vec
+                lazy_count += done
+                total_updates += done
+            updates_dispatched += done
+
         n_updates_left = n_updates - updates_dispatched
         update_t0 = time.monotonic()
         agent.train()
-        if update_hook is not None:
+        if update_hook is not None or fused_active:
             if n_updates_left > 0:  # flush the remainder the hook didn't cover
                 vec = agent.update_parameters_scan(replay, n_updates_left)
                 lazy_vec_sum = vec if lazy_vec_sum is None else lazy_vec_sum + vec

@@ -109,3 +109,42 @@ def test_pipelined_single_group_with_hook(tmp_path):
         assert np.isfinite(out["rewards"]).all()
     finally:
         rollout.close()
+
+
+def test_act_fused_updates():
+    """set_fused_updates arms the act-fused path: explore forwards carry
+    gradient-step chunks inside the act program (one dispatch per group-step
+    instead of separate act + update dispatches), budget accounting is exact,
+    and non-explore forwards never fuse."""
+    from tests.test_algorithms import _state_agent_cfg, _state_data
+
+    agent = build_agent(_state_agent_cfg(obs_dim=4, action_dim=3, batch_size=16))
+    mem = DeviceReplayMemory(capacity=256, seed=0)
+    mem.push_batch(_state_data(n=64, obs_dim=4, action_dim=3))
+
+    assert agent.set_fused_updates(mem, chunk=2, budget=4)
+    obs = np.random.RandomState(1).randn(4, 4).astype(np.float32)
+    a1 = agent.forward(obs, mode="explore")
+    assert a1.shape == (4, 3)
+    assert agent._fused_plan["done"] == 2
+    a2 = agent.forward(obs, mode="explore")
+    assert agent._fused_plan["done"] == 4
+    # budget exhausted -> plain act path, no further updates
+    a3 = agent.forward(obs, mode="explore")
+    assert agent._fused_plan["done"] == 4
+    vec, done = agent.finish_fused_updates()
+    assert done == 4 and vec is not None
+    assert int(agent.train_state.updates) == 4
+    metrics = agent.reduce_metric_vecs(vec, done)
+    assert all(np.isfinite(v) for v in metrics.values())
+    assert agent._fused_plan is None  # disarmed
+
+    # eval-mode forwards never fuse even while armed
+    assert agent.set_fused_updates(mem, chunk=1, budget=8)
+    agent.forward(obs, mode="eval")
+    vec, done = agent.finish_fused_updates()
+    assert done == 0 and vec is None
+
+    # host replay refuses to arm
+    host = ReplayMemory(capacity=64)
+    assert not agent.set_fused_updates(host, chunk=1, budget=4)
