@@ -117,28 +117,11 @@ class PointNet(nn.Module):
         )
 
     def setup(self):
-        if self._fused_supported():
-            from .init import make_torch_bias_init, torch_default_kernel_init as tinit
-
-            dims = [self.feat_dim] + list(self.mlp_spec)
-            self.fw1 = self.param("fused_w1", tinit, (dims[0], dims[1]))
-            self.fb1 = self.param("fused_b1", make_torch_bias_init(dims[0]), (dims[1],))
-            self.fw2 = self.param("fused_w2", tinit, (dims[1], dims[2]))
-            self.fb2 = self.param("fused_b2", make_torch_bias_init(dims[1]), (dims[2],))
-            self.fg2 = self.param("fused_ln2_scale", nn.initializers.ones, (dims[2],))
-            self.fe2 = self.param("fused_ln2_bias", nn.initializers.zeros, (dims[2],))
-            self.fw3 = self.param("fused_w3", tinit, (dims[2], dims[3]))
-            self.fb3 = self.param("fused_b3", make_torch_bias_init(dims[2]), (dims[3],))
-            self.fg3 = self.param("fused_ln3_scale", nn.initializers.ones, (dims[3],))
-            self.fe3 = self.param("fused_ln3_bias", nn.initializers.zeros, (dims[3],))
-            if self.out_channels is not None:
-                self.final_dense = nn.Dense(
-                    self.out_channels,
-                    kernel_init=torch_default_kernel_init,
-                    bias_init=make_torch_bias_init(dims[-1]),
-                )
-                self.final_ln = nn.LayerNorm()
-            return
+        # ONE canonical param tree regardless of the fused flag: the Pallas
+        # body is a compute-path swap that reads the unfused ``conv`` MLP's
+        # params (weight tying via child .variables), so checkpoints are
+        # portable between fused=True/False — flipping the kernel never
+        # invalidates a training run.
         self._setup_unfused()
 
     def _setup_unfused(self):
@@ -171,12 +154,18 @@ class PointNet(nn.Module):
 
     def __call__(self, obs, **kwargs):
         feature = preprocess_pointcloud(obs)  # [B, N, C]
-        if self._fused_supported():
+        if self._fused_supported() and not self.is_initializing():
+            # During init the unfused path below runs instead, creating the
+            # canonical conv/Dense_i + LayerNorm_i params this branch reads.
             from ..ops.pointnet_fused import fused_pointnet_body
             from .blocks import resolve_dtype
 
-            params = (self.fw1, self.fb1, self.fw2, self.fb2, self.fg2, self.fe2,
-                      self.fw3, self.fb3, self.fg3, self.fe3)
+            p = self.conv.variables["params"]
+            params = (p["Dense_0"]["kernel"], p["Dense_0"]["bias"],
+                      p["Dense_1"]["kernel"], p["Dense_1"]["bias"],
+                      p["LayerNorm_0"]["scale"], p["LayerNorm_0"]["bias"],
+                      p["Dense_2"]["kernel"], p["Dense_2"]["bias"],
+                      p["LayerNorm_1"]["scale"], p["LayerNorm_1"]["bias"])
             pooled = fused_pointnet_body(feature.astype(jnp.float32), params, 512, 8,
                                          resolve_dtype(self.dtype))
             if self.out_channels is not None:

@@ -75,8 +75,34 @@ def test_fused_pointnet_module():
     params = pn.init({"params": jax.random.PRNGKey(0)}, obs)
     out = pn.apply(params, obs)
     assert out.shape == (3, 20)
-    assert "fused_w1" in params["params"]
+    # canonical param tree: the fused kernel reads the unfused conv MLP's
+    # params (weight tying), so no fused_* params exist
+    assert "conv" in params["params"] and "fused_w1" not in params["params"]
     # permutation invariance still holds
     perm = np.random.RandomState(2).permutation(100)
     obs_p = {k: v[..., perm] for k, v in obs.items()}
     np.testing.assert_allclose(np.asarray(pn.apply(params, obs_p)), np.asarray(out), atol=1e-5)
+
+
+def test_fused_flag_checkpoint_portable():
+    """fused=True/False produce IDENTICAL param trees (same init values),
+    so checkpoints are portable across the kernel flag — flipping it never
+    invalidates a training run (round-3 resume regression)."""
+    from pointcloud_rl_tpu.models.pointnet import PointNet
+
+    kw = dict(feat_dim=6, mlp_spec=(16, 32, 64), out_channels=24,
+              feature_transform=(), ignore_first_ln=True)
+    x = np.random.RandomState(0).randn(2, 6, 64).astype(np.float32)
+    k = jax.random.PRNGKey(3)
+    pu = PointNet(fused=False, **kw).init(k, x)
+    pf = PointNet(fused=True, **kw).init(k, x)
+    assert jax.tree_util.tree_structure(pu) == jax.tree_util.tree_structure(pf)
+    for a, b in zip(jax.tree_util.tree_leaves(pu), jax.tree_util.tree_leaves(pf)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # the fused apply runs on the unfused params and matches the XLA body
+    ou = PointNet(fused=False, **kw).apply(pu, x)
+    of = PointNet(fused=True, **kw).apply(pu, x)
+    np.testing.assert_allclose(np.asarray(ou), np.asarray(of), atol=5e-4)
+    # gradients flow through the tied params in the fused path
+    g = jax.grad(lambda p: (PointNet(fused=True, **kw).apply(p, x) ** 2).sum())(pu)
+    assert all(float(np.abs(np.asarray(l)).sum()) > 0 for l in jax.tree_util.tree_leaves(g))
