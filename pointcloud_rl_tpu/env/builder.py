@@ -109,6 +109,10 @@ def _register_wrappers() -> None:
 def build_env(env_cfg: dict) -> Env:
     _register_wrappers()
     cfg = dict(env_cfg)
+    # server_obs selects the vec-env-level device fusion path
+    # (env/server_env.py); a standalone env always uses the host pipeline,
+    # which produces the identical observation contract.
+    cfg.pop("server_obs", None)
     cfg.setdefault("type", "gym")
     return build_from_cfg(cfg, ENVS)
 

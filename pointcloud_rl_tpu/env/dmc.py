@@ -68,7 +68,7 @@ class DMCEnv(Env):
         use_native: bool = True,
         fast_render: bool = True,
     ):
-        assert obs_mode in ("state", "rgb", "rgbd", "depth", "pointcloud", "xyz-img")
+        assert obs_mode in ("state", "rgb", "rgbd", "depth", "pointcloud", "xyz-img", "raw")
         self.env = env
         self.obs_mode = obs_mode
         self.image_size = np.asarray(image_size)
@@ -185,8 +185,21 @@ class DMCEnv(Env):
             return _flatten_state(time_step.observation) if time_step is not None else _flatten_state(
                 self.env.task.get_observation(self.physics)
             )
-        with_depth = self.obs_mode in ("depth", "rgbd", "pointcloud", "xyz-img")
+        with_depth = self.obs_mode in ("depth", "rgbd", "pointcloud", "xyz-img", "raw")
         rgb, depth, sign = self._render(with_depth)
+        if self.obs_mode == "raw":
+            # Server-render analogue (reference vec_env.py:562-742): ship the
+            # raw render products; the batched device program in
+            # ops/obs_fuse.py unprojects + samples for the whole vec batch.
+            cam_pos, cam_rot = self.get_cam_pose()
+            cm = np.zeros(12, np.float32)
+            cm[:9] = cam_rot.reshape(-1)
+            cm[9] = cam_pos[-1]
+            return {
+                "depth": depth[None].astype(np.float32),           # [1, H, W]
+                "rgb": np.ascontiguousarray(rgb.transpose(2, 0, 1)),  # [3, H, W]
+                "cam": cm.reshape(1, 1, 12),                       # [1, 1, 12]
+            }
         obs = {}
         if self.obs_mode in ("pointcloud", "xyz-img"):
             cam_pos, cam_rot = self.get_cam_pose()
