@@ -278,7 +278,10 @@ class VectorEnv(VectorEnvBase):
     def step_wait(self, idx=None):
         idx = self._idx(idx)
         results = [self.workers[i].recv() for i in idx]
-        obs = tree_stack([self._obs_of(r[0], i) for r, i in zip(results, idx)], 0)
+        if self._shm is not None and all(r[0] is None for r in results):
+            obs = self._shm.read_batch(idx)  # one stacked copy per leaf
+        else:
+            obs = tree_stack([self._obs_of(r[0], i) for r, i in zip(results, idx)], 0)
         rewards = np.array([[np.float32(r[1])] for r in results])
         dones = np.array([[bool(r[2])] for r in results])
         infos = [r[3] for r in results]

@@ -100,6 +100,13 @@ class SharedTreeBuffer:
         index = slice(None) if slot is None else slot
         return tree_map(lambda x: x[index].copy() if copy else x[index], self.tree)
 
+    def read_batch(self, slots) -> Any:
+        """Stacked copy of several slots in one fancy-index per leaf —
+        replaces N per-slot ``read`` copies + a tree_stack copy on the vec
+        env's hot obs path (fancy indexing already materializes a copy)."""
+        slots = np.asarray(slots)
+        return tree_map(lambda x: x[slots], self.tree)
+
     def close(self) -> None:
         for shm in self._segments:
             try:
