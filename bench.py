@@ -160,6 +160,7 @@ def measure_combined_rate(agent, rollout, mem, cycles=8, steps_per_env=2, chunk=
     programs slotted into the device queue mid-collection (update_hook), so
     acts and updates interleave instead of serializing."""
     n = rollout.num_envs * steps_per_env
+    assert chunk <= n, f"chunk ({chunk}) must fit in a cycle of {n} steps"
     events = steps_per_env * rollout.pipeline_groups
     stride = max(1, events * chunk // n)
     rollout.forward_with_policy(agent, rollout.num_envs, mem)  # compile act path

@@ -111,7 +111,7 @@ def main():
         for groups in (1, 2, 4):
             rollout.pipeline_groups = groups
             for chunk in (8, 16, 32):
-                if 32 % chunk:
+                if 32 % chunk or chunk > rollout.num_envs * 2:
                     continue
                 pred = predict(aud, rollout.num_envs, groups, chunk)
                 rate, br = bench.measure_combined_rate(agent, rollout, mem, chunk=chunk)
