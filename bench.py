@@ -51,7 +51,9 @@ N_POINTS = 512 * 3  # walker: DEFAULT_NUM_BODY 384 * 4/3 = 512/frame, 3 frames
 ACTION_DIM = 6
 BATCH = 256
 NUM_PROCS = 16
-PIPELINE_GROUPS = 4
+PIPELINE_GROUPS = 1  # round-3 sweep (tools/exp_overlap.py): ONE act program
+# per env-step beats split groups on the relay — fewer fetches dominates
+# cross-group sim/fetch overlap (122 vs 103-111 steps/s at chunk=16)
 GRAD_SCAN = NUM_PROCS  # updates per dispatched program; == NUM_PROCS so the
 # grad-only phase and the combined phase share ONE compiled scan program
 # TPU v5e bf16 peak per chip; the update runs f32 so this denominator is
@@ -71,6 +73,12 @@ def build_agent():
     cfg["batch_size"] = BATCH
     cfg["bf16"] = True  # mixed precision: bf16 matmuls, f32 LN/params/losses
     # (88.6 -> 145.7 updates/s on v5e at these shapes)
+    # The shipped TPU-tuned configs (configs/_base_/sac_agent.py) opt into
+    # the stale-actor-feature speedup (actor reuses the critic step's visual
+    # features, one Adam step stale — the setting walker_walk trained
+    # under); bench measures that same path.  The library DEFAULT is False
+    # (exact reference ordering, golden-tested).
+    cfg["stale_actor_feature"] = True
     return _build(cfg)
 
 
@@ -243,7 +251,7 @@ def main() -> None:
         # The act-fused shape (measure_combined_fused) measured consistently
         # slower here (75 vs 96-101: the action fetch waits for its own
         # update chunk) and is excluded; see train_rl's act_fused_updates.
-        candidates = [measure_combined_rate(agent, rollout, mem, chunk=8) for _ in range(3)]
+        candidates = [measure_combined_rate(agent, rollout, mem, chunk=16) for _ in range(3)]
         combined, breakdown = max(candidates, key=lambda x: x[0])
     finally:
         rollout.close()

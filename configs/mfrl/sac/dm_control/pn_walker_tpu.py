@@ -15,7 +15,10 @@ agent_cfg = dict(
     actor_cfg=dict(nn_cfg=dict(visual_nn_cfg=dict(fused=True))),
 )
 
-rollout_cfg = dict(num_procs=16, pipeline_groups=4)
+# pipeline_groups=1: ONE act program per 16-env step — the round-3 overlap
+# sweep (tools/exp_overlap.py) measured fewer action fetches beating
+# cross-group sim/fetch overlap on the relay (122 vs 103-111 steps/s).
+rollout_cfg = dict(num_procs=16, pipeline_groups=1)
 
 train_cfg = dict(
     n_steps=16,

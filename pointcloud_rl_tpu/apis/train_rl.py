@@ -147,7 +147,6 @@ def train_rl(
         if (
             n_steps > 0 and n_updates > 1 and rollout is not None and replay is not None
             and hasattr(agent, "update_parameters_scan")
-            and getattr(rollout, "pipeline_groups", 1) > 1
             and type(replay).__name__ == "DeviceReplayMemory" and len(replay) > 0
             and n_steps % rollout.num_envs == 0
         ):
@@ -171,7 +170,6 @@ def train_rl(
         if not fused_active and update_hook is None and (
             n_steps > 0 and n_updates > 1 and rollout is not None and replay is not None
             and hasattr(agent, "update_parameters_scan")
-            and getattr(rollout, "pipeline_groups", 1) > 1
             and type(replay).__name__ == "DeviceReplayMemory" and len(replay) > 0
             and n_steps % rollout.num_envs == 0
         ):

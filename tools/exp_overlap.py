@@ -107,10 +107,14 @@ def main():
         print(f"# audit ({env_name}): " + ", ".join(f"{k}={v:.1f}" for k, v in aud.items()),
               flush=True)
 
+        import os
+
+        group_list = tuple(int(g) for g in os.environ.get("PCRL_SWEEP_GROUPS", "1,2,4").split(","))
+        chunk_list = tuple(int(c) for c in os.environ.get("PCRL_SWEEP_CHUNKS", "8,16,32").split(","))
         results = []
-        for groups in (1, 2, 4):
+        for groups in group_list:
             rollout.pipeline_groups = groups
-            for chunk in (8, 16, 32):
+            for chunk in chunk_list:
                 if 32 % chunk or chunk > rollout.num_envs * 2:
                     continue
                 pred = predict(aud, rollout.num_envs, groups, chunk)
