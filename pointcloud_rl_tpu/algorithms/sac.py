@@ -90,8 +90,12 @@ class SAC(BaseAgent):
         # (stale_actor_feature=False), the one golden-parity tests pin.
         # stale_actor_feature=True makes the actor reuse the CRITIC
         # forward's features — one Adam step staler, one full visual encode
-        # cheaper per actor update; the TPU-tuned DMC pointcloud configs opt
-        # in (walker_walk seed 1000 trained to eval 809 @100k under it).
+        # cheaper per actor update (~25% update throughput at walker shapes,
+        # bench 196 vs 146 grad steps/s); the TPU-tuned DMC pointcloud
+        # configs opt in.  Return-health evidence for the stale path: the
+        # full 500k walker_walk protocol run (seed 2000) trained under it to
+        # eval 946±26 — reference-level returns (work_dirs/walker_500k/),
+        # alongside seed 1000's 809 @100k.
         self.stale_actor_feature = bool(stale_actor_feature)
         self.metric_prefix = metric_prefix
         self.obs_processor = build_data_augmentations(pre_process)
