@@ -148,3 +148,38 @@ def test_act_fused_updates():
     # host replay refuses to arm
     host = ReplayMemory(capacity=64)
     assert not agent.set_fused_updates(host, chunk=1, budget=4)
+
+
+def test_update_hook_fires_at_act_dispatch():
+    """The update hook must fire right AFTER an act program is dispatched
+    (so update chunks enqueue BEHIND it on the device queue) and never
+    after a step dispatch — the relay-audited ordering that removed the
+    head-of-line blocking of action fetches (tools/exp_overlap.py:
+    89 -> 122 steps/s at groups=1/chunk=16)."""
+    from pointcloud_rl_tpu.algorithms import build_agent
+    from pointcloud_rl_tpu.env import DeviceReplayMemory, Rollout
+
+    from tests.test_algorithms import _state_agent_cfg
+
+    env_cfg = dict(type="gym", env_name="reacher3d_easy-v0", obs_mode="state")
+    rollout = Rollout(env_cfg=env_cfg, num_procs=2, base_seed=0, pipeline_groups=1)
+    agent = build_agent(_state_agent_cfg(obs_dim=4, action_dim=3, batch_size=8))
+    mem = DeviceReplayMemory(capacity=128, seed=0)
+    try:
+        rollout.forward_with_policy(None, 16, mem)
+        events = []
+        orig_fwd = agent.forward_async
+        agent.forward_async = lambda *a, **k: (events.append("act"), orig_fwd(*a, **k))[1]
+        vec = rollout.vec_env
+        orig_step = vec.step_dict_async
+        vec.step_dict_async = lambda *a, **k: (events.append("step"), orig_step(*a, **k))[1]
+
+        rollout.forward_with_policy(agent, 8, mem, update_hook=lambda: events.append("hook"))
+        hooks = [i for i, e in enumerate(events) if e == "hook"]
+        assert hooks, f"hook never fired: {events}"
+        for i in hooks:
+            assert events[i - 1] == "act", f"hook not right after act dispatch: {events}"
+    finally:
+        agent.forward_async = orig_fwd
+        vec.step_dict_async = orig_step
+        rollout.close()
