@@ -161,3 +161,76 @@ def tsne_scatter(features: np.ndarray, labels: Optional[np.ndarray] = None,
         fig.savefig(save_path, dpi=120, bbox_inches="tight")
         plt.close(fig)
     return emb
+
+
+_HTML_VIEWER = """<!DOCTYPE html>
+<html><head><meta charset="utf-8"><title>pointcloud</title><style>
+body{margin:0;background:#111;color:#ccc;font:12px monospace}
+#hud{position:fixed;top:6px;left:8px}</style></head>
+<body><canvas id="c"></canvas><div id="hud">drag: orbit &middot; wheel: zoom</div>
+<script>
+const PTS=__PTS__, COL=__COL__;
+const cv=document.getElementById('c'),ctx=cv.getContext('2d');
+let W,H;function rs(){W=cv.width=innerWidth;H=cv.height=innerHeight;draw()}
+addEventListener('resize',rs);
+// center + scale
+let cx=0,cy=0,cz=0;for(const p of PTS){cx+=p[0];cy+=p[1];cz+=p[2]}
+cx/=PTS.length;cy/=PTS.length;cz/=PTS.length;
+let r=0;for(const p of PTS){r=Math.max(r,Math.hypot(p[0]-cx,p[1]-cy,p[2]-cz))}
+let yaw=.6,pitch=.4,zoom=1;
+function draw(){
+ ctx.fillStyle='#111';ctx.fillRect(0,0,W,H);
+ const cyaw=Math.cos(yaw),syaw=Math.sin(yaw),cp=Math.cos(pitch),sp=Math.sin(pitch);
+ const s=.42*Math.min(W,H)/r*zoom, idx=[];
+ for(let i=0;i<PTS.length;i++){
+  const x=PTS[i][0]-cx,y=PTS[i][1]-cy,z=PTS[i][2]-cz;
+  const x1=cyaw*x+syaw*y, y1=-syaw*x+cyaw*y;      // yaw about world z
+  const y2=cp*y1-sp*z,   z2=sp*y1+cp*z;           // pitch
+  idx.push([x1*s+W/2, H/2-z2*s, y2, i]);
+ }
+ idx.sort((a,b)=>b[2]-a[2]);                       // painter's order
+ for(const [px,py,,i] of idx){
+  ctx.fillStyle=COL?`rgb(${COL[i][0]},${COL[i][1]},${COL[i][2]})`:'#6cf';
+  ctx.fillRect(px-1.5,py-1.5,3,3);
+ }}
+let drag=null;
+cv.onmousedown=e=>drag=[e.clientX,e.clientY];
+onmouseup=()=>drag=null;
+onmousemove=e=>{if(!drag)return;yaw+=(e.clientX-drag[0])*.008;
+ pitch=Math.max(-1.5,Math.min(1.5,pitch+(e.clientY-drag[1])*.008));
+ drag=[e.clientX,e.clientY];draw()};
+cv.onwheel=e=>{zoom*=e.deltaY<0?1.1:.9;draw();e.preventDefault()};
+rs();
+</script></body></html>
+"""
+
+
+def pointcloud_html(xyz: np.ndarray, rgb: Optional[np.ndarray] = None,
+                    path: str = "pointcloud.html", max_points: int = 20000) -> str:
+    """Self-contained interactive point-cloud viewer (reference
+    pyrl/utils/visualization o3d interactive-viewer role, rebuilt without
+    open3d: a single HTML file with a canvas orbit/zoom renderer — works
+    over SSH/headless, open in any browser).
+
+    xyz: [N, 3] (or [3, N] channel-first); rgb: matching uint8 colors.
+    Returns the written path."""
+    xyz = np.asarray(xyz, np.float32)
+    if xyz.ndim != 2:
+        raise ValueError(f"xyz must be 2-D, got {xyz.shape}")
+    if xyz.shape[0] == 3 and xyz.shape[1] != 3:
+        xyz = xyz.T
+        if rgb is not None:
+            rgb = np.asarray(rgb).T
+    if len(xyz) > max_points:
+        sel = np.random.RandomState(0).choice(len(xyz), max_points, replace=False)
+        xyz = xyz[sel]
+        rgb = rgb[sel] if rgb is not None else None
+    pts = [[round(float(v), 4) for v in p] for p in xyz]
+    col = [[int(v) for v in c] for c in np.asarray(rgb)] if rgb is not None else None
+    import json
+
+    html = _HTML_VIEWER.replace("__PTS__", json.dumps(pts)).replace(
+        "__COL__", json.dumps(col))
+    with open(path, "w") as f:
+        f.write(html)
+    return path

@@ -142,3 +142,21 @@ def test_feature_analysis_visualization(tmp_path):
     out = tmp_path / "tsne.png"
     emb = tsne_scatter(x, labels=pred, save_path=str(out), seed=0)
     assert emb.shape == (60, 2) and out.exists()
+
+
+def test_pointcloud_html_viewer(tmp_path):
+    """Interactive HTML viewer (o3d interactive-viewer role, dependency-free):
+    embeds the points + colors, handles channel-first input, subsamples."""
+    import numpy as np
+
+    from pointcloud_rl_tpu.utils.visualization import pointcloud_html
+
+    xyz = np.random.RandomState(0).randn(300, 3).astype(np.float32)
+    rgb = np.random.RandomState(1).randint(0, 255, (300, 3)).astype(np.uint8)
+    p = pointcloud_html(xyz, rgb, str(tmp_path / "v.html"))
+    s = open(p).read()
+    assert "orbit" in s and "__PTS__" not in s and "null" not in s.split("COL=")[1][:8]
+    # channel-first [3, N] input and max_points subsampling
+    p2 = pointcloud_html(xyz.T, rgb.T, str(tmp_path / "v2.html"), max_points=100)
+    s2 = open(p2).read()
+    assert s2.count("[") < s.count("[")  # 100-point subsample embeds fewer rows
