@@ -241,7 +241,31 @@ def measure_combined_fused(agent, rollout, mem, cycles=8, steps_per_env=2, chunk
     return cycles * n / dt, breakdown
 
 
+def _device_reachable(timeout_s: int = 240) -> bool:
+    """Probe device discovery in a subprocess with a hard timeout.
+
+    The tunneled relay can die mid-session (observed: the relay daemon
+    exiting leaves jax device discovery blocked FOREVER in
+    get_default_device) — better to fail fast with a clear message than
+    hang the benchmark harness."""
+    import subprocess
+
+    try:
+        out = subprocess.run(
+            [sys.executable, "-c", "import jax; jax.devices(); print('ok')"],
+            timeout=timeout_s, capture_output=True,
+        )
+        return b"ok" in out.stdout
+    except subprocess.TimeoutExpired:
+        return False
+
+
 def main() -> None:
+    if not _device_reachable():
+        print("# FATAL: jax device discovery hung >240s — accelerator tunnel down; "
+              "no benchmark numbers can be measured (NOT printing a stale value)",
+              file=sys.stderr)
+        sys.exit(2)
     agent = build_agent()
     mem = device_memory()
     grad_rate = measure_grad_rate(agent, mem)
