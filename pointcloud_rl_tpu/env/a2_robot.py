@@ -173,9 +173,15 @@ class A2Robot:
         self.robot_bodies = {
             b for b in range(model.nbody) if self._is_descendant(b, rb)
         }
-        # "hand" links for visual-state / body link (agent.py:646)
+        # "hand" links for visual-state / body link (agent.py:646).  MuJoCo's
+        # URDF import welds fixed-jointed links, so ``panda_hand`` may not
+        # survive as its own body — fall back to the finger joints' parent
+        # body, which IS the hand weld.
         hand = [b for b in range(model.nbody)
                 if "panda_hand" in (model.body(b).name or "")]
+        if not hand:
+            hand = sorted({int(model.body_parentid[model.jnt_bodyid[j]])
+                           for j in self._finger_jids})
         self._hand_bodies = hand
 
     def _is_descendant(self, body: int, root: int) -> bool:
@@ -239,6 +245,37 @@ class A2Robot:
             R = self.data.xmat[bid].reshape(3, 3)
             out.append(self.data.xanchor[jidx] + R @ np.array([0.0, sign * 0.035, 0.0]))
         return np.array(out)
+
+    def get_ee_coords_sample(self) -> np.ndarray:
+        """[n_fingers, 10, 3] points sampled along each finger (reference
+        agent.py:594-607 dual / 648-659 single): offsets
+        x_i = (l*i + (4-i)*r)/4 along the finger body's local y from the
+        joint anchor, signed per finger."""
+        l, r = 0.0355, 0.052
+        xs = np.array([(l * i + (4 - i) * r) / 4 for i in range(10)])
+        out = []
+        for jidx, sign in zip(self._finger_jids, self._finger_signs):
+            bid = self.model.jnt_bodyid[jidx]
+            ydir = self.data.xmat[bid].reshape(3, 3)[:, 1]
+            out.append(self.data.xanchor[jidx][None] + (sign * xs)[:, None] * ydir[None])
+        return np.array(out)
+
+    def hand_pose(self):
+        """World pose of the (first) panda hand link as a mani.geometry Pose
+        (reference agent.hand.get_pose(), open_cabinet_door_drawer.py:320)."""
+        from ..mani.geometry import Pose
+
+        bid = self._hand_bodies[0]
+        return Pose(self.data.xpos[bid].copy(), self.data.xquat[bid].copy())
+
+    def hand_vel(self) -> np.ndarray:
+        """World-frame linear velocity of the hand link."""
+        import mujoco
+
+        v6 = np.zeros(6)
+        mujoco.mj_objectVelocity(self.model, self.data, mujoco.mjtObj.mjOBJ_BODY,
+                                 self._hand_bodies[0], v6, 0)
+        return v6[3:6]
 
     def get_ee_vels(self) -> np.ndarray:
         import mujoco

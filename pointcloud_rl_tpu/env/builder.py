@@ -49,6 +49,20 @@ def _build_base_env(env_name: str, obs_mode: str, **kwargs) -> Env:
 
         split = env_name.split("_", 1)[1].split("-")[0] if "_" in env_name else "train"
         return MoveBucketEnv(split=split, obs_mode=obs_mode, **kwargs)
+    if env_name.startswith(("OpenCabinetDoorMJC", "OpenCabinetDrawerMJC")):
+        # Procedural-cabinet ports of the OpenCabinet tasks on MuJoCo
+        # (no SAPIEN/PartNet cabinets needed):
+        # OpenCabinet{Door,Drawer}MJC_{train,val}-v0
+        from .cabinet_tasks import OpenCabinetDoorEnv, OpenCabinetDrawerEnv
+
+        cls = OpenCabinetDoorEnv if "Door" in env_name else OpenCabinetDrawerEnv
+        split = env_name.split("_", 1)[1].split("-")[0] if "_" in env_name else "train"
+        return cls(split=split, obs_mode=obs_mode, **kwargs)
+    if env_name.startswith("PushChairMJC"):
+        from .chair_task import PushChairEnv
+
+        split = env_name.split("_", 1)[1].split("-")[0] if "_" in env_name else "train"
+        return PushChairEnv(split=split, obs_mode=obs_mode, **kwargs)
     if any(env_name.startswith(p) for p in ("OpenCabinetDoor", "OpenCabinetDrawer", "PushChair", "MoveBucket")):
         from .maniskill import build_maniskill_env
 

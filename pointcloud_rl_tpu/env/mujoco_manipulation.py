@@ -44,8 +44,7 @@ import numpy as np
 
 from ..mani.controllers import LPFilter
 from ..mani.geometry import norm, normalize_and_clip_in_interval
-from .api import Env
-from .obs_process import pcd_base
+from .mjc_task import MujocoTaskEnv
 from .spaces import Box
 
 ASSET_ROOT = os.environ.get("PARTNET_MOBILITY_ROOT", "/root/reference/partnet-mobility-dataset")
@@ -245,7 +244,7 @@ def build_move_bucket_xml(model_dir: str, scale: float, plat_xy, bucket_xy,
     return ET.tostring(root, encoding="unicode")
 
 
-class MoveBucketEnv(Env):
+class MoveBucketEnv(MujocoTaskEnv):
     """MoveBucket on MuJoCo (reference move_bucket.py semantics, floating
     parallel gripper).  Registered env names:
     ``MoveBucketMJC_train-v0`` / ``MoveBucketMJC_val-v0``."""
@@ -312,10 +311,6 @@ class MoveBucketEnv(Env):
         self._step_count = 0
         self.keep_good_steps = defaultdict(int)
 
-    def seed(self, seed):
-        self.np_random.seed(seed)
-        self.action_space.seed(seed)
-
     # ------------------------------------------------------------- scene
     def _compiled(self, model_id: str, scale: float):
         # No model caching: platform/bucket placement is baked into the XML
@@ -334,7 +329,7 @@ class MoveBucketEnv(Env):
             self.np_random.seed(int(level))
         rs = self.np_random
         self._step_count = 0
-        self.keep_good_steps = defaultdict(int)
+        self._reset_hysteresis()
 
         # per-level variant sampling: model id + its split-file scale
         # (reference process_variants over bucket_models_*.yml)
@@ -459,14 +454,6 @@ class MoveBucketEnv(Env):
                 lows.append(d.geom_xpos[g][2] - float(np.linalg.norm(m.geom_rbound[g])))
         return min(lows) if lows else 0.0
 
-    def _in_subtree(self, body: int, root: int) -> bool:
-        m = self.model
-        while body != 0:
-            if body == root:
-                return True
-            body = m.body_parentid[body]
-        return root == 0
-
     def _bucket_geoms(self) -> List[int]:
         m = self.model
         return [g for g in range(m.ngeom)
@@ -523,15 +510,7 @@ class MoveBucketEnv(Env):
             for _ in range(self.frame_skip):
                 mujoco.mj_step(self.model, self.data)
         else:
-            # reference step loop (base_env.py:865-873): frame_skip control
-            # steps x n_sim_per_control sim substeps, action scaled from
-            # [-1,1] to the agent action_range (base_env.py:808-812)
-            scaled = self.agent.scale_action(action)
-            for _ in range(self.ctrl_per_step):
-                self.agent.set_action(scaled.copy(), self.ego_mode)
-                for _ in range(self.n_sim_per_control):
-                    self.agent.simulation_step()
-                    mujoco.mj_step(self.model, self.data)
+            self._step_agent(action)
         self._step_count += 1
 
         eval_info, success = self._eval()
@@ -576,11 +555,7 @@ class MoveBucketEnv(Env):
                 and np.abs(d.qvel[self._bucket_dof + 3 : self._bucket_dof + 6]).max() < 0.2
             ),
         }
-        result = {}
-        for key, value in flags.items():
-            self.keep_good_steps[key] = self.keep_good_steps[key] + 1 if value else 0
-            result[key] = bool(self.keep_good_steps[key] >= self.keep_good_steps_threshold)
-        result["success"] = all(result.values())
+        result = self._apply_hysteresis(flags)
         return result, result["success"]
 
     def _dense_reward(self):
@@ -696,64 +671,6 @@ class MoveBucketEnv(Env):
         return float(reward), info
 
     # ---------------------------------------------------------------- obs
-    def _get_renderers(self):
-        import mujoco
-
-        if self._renderers is None:
-            H, W = self.image_hw
-            self._renderers = mujoco.Renderer(self.model, H, W)
-        return self._renderers
-
-    def _camera_params(self, cam_name: str):
-        import mujoco
-
-        m, d = self.model, self.data
-        cid = mujoco.mj_name2id(m, mujoco.mjtObj.mjOBJ_CAMERA, cam_name)
-        H, W = self.image_hw
-        fovy = np.deg2rad(m.cam_fovy[cid])
-        f = 0.5 * H / np.tan(fovy / 2)
-        pos = d.cam_xpos[cid].copy()
-        rot = d.cam_xmat[cid].reshape(3, 3).copy()  # cam-to-world, -z forward
-        return f, pos, rot
-
-    def _render_camera(self, cam_name: str):
-        ren = self._get_renderers()
-        ren.update_scene(self.data, camera=cam_name)
-        rgb = ren.render().copy()
-        ren.enable_depth_rendering()
-        ren.update_scene(self.data, camera=cam_name)
-        depth = ren.render().copy()
-        ren.disable_depth_rendering()
-        ren.enable_segmentation_rendering()
-        ren.update_scene(self.data, camera=cam_name)
-        seg_raw = ren.render()[..., 0].copy()
-        ren.disable_segmentation_rendering()
-        return rgb, depth, seg_raw
-
-    def _fused_cloud(self):
-        H, W = self.image_hw
-        v, u = np.indices((H, W))
-        pts, cols, segs = [], [], []
-        for cam in ("cam0", "cam1", "cam2"):
-            rgb, depth, seg_raw = self._render_camera(cam)
-            f, pos, rot = self._camera_params(cam)
-            mask = (depth > 1e-3) & (depth < self.max_depth)
-            d = depth[mask]
-            # camera frame: x right, y up, looking along -z (MuJoCo render
-            # convention); row 0 is the TOP image row
-            x = (u[mask] + 0.5 - W / 2) / f * d
-            y = (H / 2 - (v[mask] + 0.5)) / f * d
-            cam_pts = np.stack([x, y, -d], -1)
-            pts.append(cam_pts @ rot.T + pos)
-            cols.append(rgb[mask])
-            gid = seg_raw[mask]
-            seg = np.zeros((len(d), 3), bool)
-            for k, geom_set in enumerate(self._seg_geoms):
-                if geom_set:
-                    seg[:, k] = np.isin(gid, list(geom_set))
-            segs.append(seg)
-        return np.concatenate(pts).astype(np.float32), np.concatenate(cols), np.concatenate(segs)
-
     def _state(self) -> np.ndarray:
         if self.agent is not None:
             # the reference's obs "state" is the agent state alone
@@ -768,46 +685,14 @@ class MoveBucketEnv(Env):
             np.asarray(self._plat_xy, np.float64), [self._step_count / max(self.horizon, 1)],
         ]).astype(np.float32)
 
-    def get_obs(self):
-        if self.obs_mode == "state":
-            d = self.data
-            return np.concatenate([
-                self._state(), d.xpos[self._bucket_body], d.xpos[self._ball_body],
-                d.xpos[self._handle_body],
-            ]).astype(np.float32)
-        xyz, rgb, seg = self._fused_cloud()
-        if self.ego_mode:
-            xyz = xyz.copy()
-            if self.agent is not None:
-                # base frame: shift to the mobile base and undo its yaw
-                # (reference BaseEnv ego mode, base_env.py:1199-1212)
-                th = self.agent.base_orientation()
-                xyz[:, :2] -= self.agent.base_link_pos()[:2]
-                rot = np.array([[np.cos(-th), -np.sin(-th)], [np.sin(-th), np.cos(-th)]])
-                xyz[:, :2] = xyz[:, :2] @ rot.T
-            else:
-                xyz[:, :2] -= self.data.xpos[self._gripper_body][:2]
-        obs = pcd_base(
-            {"xyz": xyz, "rgb": rgb, "seg": seg},
-            n_points=self.n_points, min_pts=50, fg_pts=self.n_points * 2 // 3,
-            np_random=self.np_random,
-        )
-        return {
-            "xyz": np.ascontiguousarray(obs["xyz"].T.astype(np.float32)),
-            "rgb": np.ascontiguousarray(obs["rgb"].T),
-            "seg": np.ascontiguousarray(obs["seg"].T.astype(np.float32)),
-            "state": self._state(),
-        }
+    def _state_extras(self):
+        d = self.data
+        return [d.xpos[self._bucket_body], d.xpos[self._ball_body],
+                d.xpos[self._handle_body]]
 
-    def render(self, mode="rgb_array", **kwargs):
-        rgb, _, _ = self._render_camera("cam0")
-        return rgb
+    def _ego_anchor_xy(self) -> np.ndarray:
+        return self.data.xpos[self._gripper_body][:2]
 
     def get_env_state(self):
         return {"qpos": self.data.qpos.copy(), "qvel": self.data.qvel.copy(),
                 "model_id": self.model_id, "plat_xy": np.asarray(self._plat_xy)}
-
-    def close(self):
-        if self._renderers is not None:
-            self._renderers.close()
-            self._renderers = None

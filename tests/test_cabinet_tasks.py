@@ -1,0 +1,214 @@
+"""OpenCabinetDoor/Drawer on MuJoCo with procedural cabinets: catalog
+splits, handle discovery + grasp poses, segmentation channels, staged-reward
+ladder (reference open_cabinet_door_drawer.py:432-560), and the eval-flag
+hysteresis protocol."""
+
+import numpy as np
+import pytest
+
+from pointcloud_rl_tpu.env.a2_robot import robot_assets_available
+
+pytestmark = pytest.mark.skipif(
+    not robot_assets_available(), reason="A2 robot assets unavailable")
+
+
+@pytest.fixture(scope="module")
+def door_env():
+    from pointcloud_rl_tpu.env.builder import build_env
+
+    env = build_env(dict(type="gym", env_name="OpenCabinetDoorMJC_train-v0",
+                         obs_mode="pointcloud", n_points=512, image_hw=(48, 84)))
+    yield env
+    env.close()
+
+
+def test_catalog_splits_are_deterministic_and_disjoint():
+    from pointcloud_rl_tpu.env.cabinet_tasks import cabinet_catalog
+
+    train = cabinet_catalog("door", "train")
+    val = cabinet_catalog("door", "val")
+    assert len(train) == 25 and len(val) == 4  # reference split-file counts
+    assert cabinet_catalog("door", "train") == train  # deterministic
+    # door and drawer catalogs draw from different seed blocks
+    drawers = cabinet_catalog("drawer", "train")
+    assert {d["kind"] for d in drawers} == {"drawer"}
+    assert train[0]["W"] != drawers[0]["W"]
+
+
+def test_obs_contract_and_segmentation(door_env):
+    env = door_env
+    obs = env.reset(level=3)
+    assert obs["xyz"].shape == (3, 512) and obs["xyz"].dtype == np.float32
+    assert obs["rgb"].dtype == np.uint8 and obs["seg"].shape == (3, 512)
+    xyz = obs["xyz"].T
+    assert xyz[:, 2].min() > -0.05  # nothing below the ground
+    # seg channel 0 = target handle: points must cluster on the real handle
+    handle_mask = obs["seg"][0].astype(bool)
+    assert handle_mask.sum() > 5, "target handle invisible in the fused cloud"
+    handle_center = env._handle_points_world().mean(0)
+    d = np.linalg.norm(xyz[handle_mask] - handle_center, axis=-1)
+    assert np.median(d) < 0.25, (np.median(d), handle_center)
+    # seg channel 2 = robot
+    robot_mask = obs["seg"][2].astype(bool)
+    assert robot_mask.sum() > 10
+    base = env.agent.base_link_pos()
+    assert np.linalg.norm(xyz[robot_mask].mean(0)[:2] - base[:2]) < 0.8
+    # agent state: 38 = ee(2x3) + ee_vel(2x3) + base_vel(2) + base_ang_vel(1)
+    # + qpos(10) + qvel(10) + base_pos(2) + base_orientation(1)
+    assert obs["state"].shape == (38,)
+
+
+def test_level_seeding_and_fixed_target_link(door_env):
+    env = door_env
+    env.reset(level=0)
+    m0, t0 = env.model_id, env.target_index
+    env.reset(level=0)
+    assert env.model_id == m0 and env.target_index == t0
+    ids = set()
+    for l in range(8):
+        env.reset(level=l)
+        ids.add(env.model_id)
+    assert len(ids) > 1, "levels never vary the cabinet model"
+
+    from pointcloud_rl_tpu.env.cabinet_tasks import OpenCabinetDoorEnv
+
+    e2 = OpenCabinetDoorEnv(split="train", obs_mode="state",
+                            fixed_target_link_id=1, image_hw=(48, 84))
+    try:
+        e2.reset(level=4)
+        assert e2.target_index == 1 % e2.num_target_links
+        assert e2.target_indicator[e2.target_index] == 1
+        assert e2.target_indicator.shape == (8,)  # cabinet_max_dof
+    finally:
+        e2.close()
+
+
+def test_box_signed_distance_convention():
+    from pointcloud_rl_tpu.env.cabinet_tasks import _box_signed_distance
+
+    half = np.array([1.0, 2.0, 3.0])
+    p = np.array([[0.0, 0.0, 0.0], [0.5, 0.0, 0.0], [2.0, 0.0, 0.0]])
+    sd = _box_signed_distance(p, half)
+    assert sd[0] == pytest.approx(1.0)   # deepest inside = +min(half)
+    assert sd[1] == pytest.approx(0.5)
+    assert sd[2] == pytest.approx(-1.0)  # 1.0 outside the +x face
+
+
+def test_eval_flags_and_reward_decomposition(door_env):
+    env = door_env
+    env.reset(level=5)
+    obs, reward, done, info = env.step(np.zeros(env.action_space.shape, np.float32))
+    assert np.isfinite(reward) and not done
+    ev = info["eval_info"]
+    assert set(ev) == {"cabinet_static", "open_enough", "success"}
+    assert not ev["success"]
+    for key in ("dist_ee_to_handle", "gripper_angle_err", "to_cabinet_rew",
+                "gripper_rew", "keep_arm_rew", "open_cabinet_reward",
+                "stage_index", "open_extent_frac"):
+        assert key in info, key
+    assert info["stage_index"] == 0  # spawned 1.3+ m away
+
+
+def test_approach_gradient(door_env):
+    """Stage-0 reward must increase monotonically as the base approaches the
+    handle (the gradient the mobile base climbs; reference
+    open_cabinet_door_drawer.py:515-529 dist/angle shaping)."""
+    import mujoco
+
+    env = door_env
+    env.reset(level=2)
+    handle_xy = env._handle_points_world().mean(0)[:2]
+    start = env.agent.get_state()["base_pos"].copy()
+    rewards, dists = [], []
+    for frac in (0.0, 0.3, 0.55):
+        env.agent.set_state({"base_pos": start + frac * (handle_xy - start)})
+        mujoco.mj_forward(env.model, env.data)
+        r, info = env._dense_reward(np.zeros(env.action_space.shape), {
+            "open_enough": False, "cabinet_static": False})
+        rewards.append(r)
+        dists.append(info["dist_ee_to_handle"])
+    assert all(d2 < d1 for d1, d2 in zip(dists, dists[1:])), dists
+    assert all(r2 > r1 for r1, r2 in zip(rewards, rewards[1:])), rewards
+
+
+def test_staged_ladder_grasp_open_hold():
+    """Stages 3-5 (open_cabinet_door_drawer.py:536-560): with a posed grasp,
+    opening the target joint pays open_cabinet_reward progress, open_enough
+    flips the stage-4 bonuses, and a static open cabinet pays the hold
+    bonus.  The grasp is posed by stubbing the geometric gates (signed
+    distance + angle) on a RAW (unwrapped) env, so the LADDER logic itself
+    is what's under test."""
+    import mujoco
+
+    from pointcloud_rl_tpu.env.cabinet_tasks import OpenCabinetDoorEnv
+
+    env = OpenCabinetDoorEnv(split="train", obs_mode="state", image_hw=(48, 84))
+    env.reset(level=1)
+    m = env.model
+    adr = m.jnt_qposadr[env.target_joint]
+
+    # stub the grasp gates: handle points ride the fingers, fingers "inside"
+    # the handle bbox, perfect grasp orientation (re-posed per joint angle,
+    # since opening the door moves the link frame away from the static arm)
+    env._handle_signed_distance = lambda p: np.full(np.asarray(p).shape[:-1], 0.005)
+    env._handle_points_world = lambda: env.agent.get_ee_coords_sample().mean(0)
+
+    def rew_at(q):
+        env.data.qpos[adr] = q
+        env.data.qvel[:] = 0
+        mujoco.mj_forward(m, env.data)
+        link_pose = env._target_link_pose()
+        hand = env.agent.hand_pose()
+        env.grasp_pose_local = (link_pose.inv() * hand, link_pose.inv() * hand)
+        return env._dense_reward(np.zeros(env.action_space.shape), {
+            "open_enough": bool(q >= env.target_qpos), "cabinet_static": True})
+
+    r_closed, i_closed = rew_at(0.0)
+    r_half, i_half = rew_at(env.target_qpos * 0.5)
+    r_open, i_open = rew_at(env.target_qpos * 1.02)
+    assert i_closed["stage_index"] == 3 and i_closed["grasp_happen"] == 1.0, i_closed
+    assert i_half["open_cabinet_reward"] > i_closed["open_cabinet_reward"]
+    assert i_open["stage_index"] == 5
+    assert i_open["open_cabinet_reward"] == pytest.approx(2.0)
+    assert i_open["keep_static_reward"] == pytest.approx(1.0)
+    assert r_open > r_half > r_closed
+    env.close()
+
+
+def test_open_enough_latches_with_hysteresis():
+    """Teleporting the drawer past target_qpos must latch open_enough after
+    keep_good_steps_threshold consecutive good steps (base_env.py:795-807)."""
+    import mujoco
+
+    from pointcloud_rl_tpu.env.cabinet_tasks import OpenCabinetDrawerEnv
+
+    env = OpenCabinetDrawerEnv(split="val", obs_mode="state", image_hw=(48, 84))
+    try:
+        env.reset(level=2)
+        adr = env.model.jnt_qposadr[env.target_joint]
+        seen = []
+        for _ in range(env.keep_good_steps_threshold + 3):
+            env.data.qpos[adr] = env.target_qpos * 1.05
+            env.data.qvel[:] = 0
+            mujoco.mj_forward(env.model, env.data)
+            _, _, done, info = env.step(np.zeros(env.action_space.shape, np.float32))
+            seen.append(info["eval_info"]["open_enough"])
+            if done:
+                break
+        assert not seen[0] and seen[-1], seen
+    finally:
+        env.close()
+
+
+def test_state_obs_mode_includes_task_extras():
+    from pointcloud_rl_tpu.env.builder import build_env
+
+    env = build_env(dict(type="gym", env_name="OpenCabinetDrawerMJC_val-v0",
+                         obs_mode="state", image_hw=(48, 84)))
+    try:
+        s = env.reset(level=1)
+        # agent(38) + target indicator(8) + handle center(3) + progress(1)
+        assert s.shape == (50,) and np.isfinite(s).all()
+        assert len(env.catalog) == 4
+    finally:
+        env.close()
