@@ -44,10 +44,30 @@ class ManiSkillObsWrapper(Wrapper):
         self.obs_mode = getattr(env, "obs_mode", "pointcloud")
 
     def _process(self, obs):
-        if not isinstance(obs, dict) or "pointcloud" not in obs:
+        if not isinstance(obs, dict):
+            return obs  # obs_mode == "state" passthrough
+        # agent state: "state" preferred over "agent", with target_info
+        # appended when the task provides it (maniskill_wrappers.py:158-163)
+        state = obs.get("state", obs.get("agent"))
+        target_info = obs.get("target_info")
+        if state is not None and target_info is not None:
+            state = np.concatenate([np.asarray(state).ravel(),
+                                    np.asarray(target_info).ravel()])
+        if "pointcloud" not in obs:
+            # image modes: HWC -> CHW, rgb to uint8
+            # (maniskill_wrappers.py:175-178)
+            if self.obs_mode in ("rgb", "rgbd", "depth") and self.obs_mode in obs:
+                out = {}
+                for k, v in dict(obs[self.obs_mode]).items():
+                    v = np.asarray(v)
+                    if k == "rgb" and v.dtype != np.uint8:
+                        v = (np.clip(v, 0, 1) * 255).astype(np.uint8)
+                    out[k] = np.ascontiguousarray(v.transpose(2, 0, 1))
+                if state is not None:
+                    out["state"] = np.asarray(state, np.float32)
+                return out
             return obs
         pcd = dict(obs["pointcloud"])
-        state = obs.get("agent")
         pcd = pcd_base(pcd, n_points=self.n_points, min_pts=self.min_pts, fg_pts=self.fg_pts)
         out = {}
         for k in ("xyz", "rgb", "seg"):
