@@ -337,7 +337,11 @@ def train_rl(
 
                 snap = _HostReplay(capacity=min(save_replay, len(replay)))
                 snap.push_batch(replay.tail(min(save_replay, len(replay))))
-                snap.to_hdf5(osp.join(work_dir, "models", "replay_latest.h5"))
+                # write-then-rename: a crash mid-write must not corrupt the
+                # previous snapshot (it is the warm-resume insurance).
+                dst = osp.join(work_dir, "models", "replay_latest.h5")
+                snap.to_hdf5(dst + ".tmp", compression="lzf")
+                os.replace(dst + ".tmp", dst)
                 logger.info(f"Saved replay snapshot ({len(snap)} transitions)")
 
     if watchdog is not None:

@@ -321,7 +321,12 @@ class ReplayMemory:
             yield tree_take(self.memory, chunk)
 
     # ----------------------------------------------------------------- hdf5
-    def to_hdf5(self, filename: str) -> None:
+    def to_hdf5(self, filename: str, compression: str = "gzip") -> None:
+        """Dump the buffer as one HDF5 tree.  ``compression="lzf"`` trades
+        ~1.5x file size for a 5-10x faster write — the right choice for the
+        periodic in-training snapshot, where the write stalls the train loop
+        on the single host core (gzip measured ~10 min for a 50k-step
+        pointcloud replay vs ~1 min lzf).  Loads are codec-transparent."""
         import h5py
 
         data = self.get_all()
@@ -332,7 +337,7 @@ class ReplayMemory:
                     if isinstance(v, dict):
                         _dump(group.create_group(k), v)
                     else:
-                        group.create_dataset(k, data=v, compression="gzip")
+                        group.create_dataset(k, data=v, compression=compression)
 
             _dump(f, data)
 
