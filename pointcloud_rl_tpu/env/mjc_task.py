@@ -125,13 +125,34 @@ class MujocoTaskEnv(Env):
         return f, pos, rot
 
     def _render_camera(self, cam_name: str):
+        import mujoco
+
         ren = self._get_renderers()
+        H, W = self.image_hw
+        # Single visual pass for rgb AND depth: mjr_readPixels fills both
+        # buffers from one mjr_render (same trick as env/dmc.py:_dual_render).
+        # Renderer.render() rasterizes the full scene once PER output — with
+        # the seg pass that is 3 passes/camera, and rendering is ~80% of the
+        # host step cost on this GPU-less image.  Segmentation keeps its own
+        # pass (IDCOLOR rasterization draws different colors).
         ren.update_scene(self.data, camera=cam_name)
-        rgb = ren.render().copy()
-        ren.enable_depth_rendering()
-        ren.update_scene(self.data, camera=cam_name)
-        depth = ren.render().copy()
-        ren.disable_depth_rendering()
+        if ren._gl_context:
+            ren._gl_context.make_current()
+        rgb = np.empty((H, W, 3), np.uint8)
+        zbuf = np.empty((H, W), np.float32)
+        mujoco.mjr_render(ren._rect, ren._scene, ren._mjr_context)
+        mujoco.mjr_readPixels(rgb, zbuf, ren._rect, ren._mjr_context)
+        # Reversed-Z buffer (the renderer sets readDepthMap=mjDEPTH_ZEROFAR)
+        # -> metric depth: invert the OpenGL projection in float64, with the
+        # frustum coefficients computed in float32 to match glFrustum.
+        extent = self.model.stat.extent
+        zfar = np.float32(self.model.vis.map.zfar * extent)
+        znear = np.float32(self.model.vis.map.znear * extent)
+        c = np.float32(-0.5) * (-(zfar + znear) / (zfar - znear)) - np.float32(0.5)
+        d = np.float32(-0.5) * (-(np.float32(2) * zfar * znear) / (zfar - znear))
+        depth = (d / (zbuf.astype(np.float64) + c)).astype(np.float32)
+        rgb = np.flipud(rgb)  # offscreen buffers are vertically flipped
+        depth = np.flipud(depth)
         ren.enable_segmentation_rendering()
         ren.update_scene(self.data, camera=cam_name)
         seg_raw = ren.render()[..., 0].copy()
