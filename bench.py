@@ -56,10 +56,16 @@ REFERENCE_COMBINED_STEPS_PER_SEC = 40.0  # documented estimate, see module docst
 N_POINTS = 512 * 3  # walker: DEFAULT_NUM_BODY 384 * 4/3 = 512/frame, 3 frames
 ACTION_DIM = 6
 BATCH = 256
-NUM_PROCS = 16
+import os as _os
+
+NUM_PROCS = int(_os.environ.get("PCRL_BENCH_PROCS", "16"))
 PIPELINE_GROUPS = 1  # round-3 sweep (tools/exp_overlap.py): ONE act program
 # per env-step beats split groups on the relay — fewer fetches dominates
 # cross-group sim/fetch overlap (122 vs 103-111 steps/s at chunk=16)
+# PCRL_BENCH_PROCS: worker-count override for shape sweeps — the ~43 ms
+# blocked action fetch amortizes over num_procs env steps, so larger worker
+# pools trade per-step relay tax against update-scan backlog (the sweep in
+# tools/exp_overlap.py varies this via the same env var).
 GRAD_SCAN = NUM_PROCS  # updates per dispatched program; == NUM_PROCS so the
 # grad-only phase and the combined phase share ONE compiled scan program
 # TPU v5e bf16 peak per chip; the update runs f32 so this denominator is
@@ -283,8 +289,12 @@ def main() -> None:
         # update chunk) and is excluded; see train_rl's act_fused_updates.
         # chunk 16 vs 32 measure equal within the relay's run-to-run noise;
         # try both and keep the best window (sweep: 104-122 steps/s).
+        # chunk candidates scale with the cycle (NUM_PROCS * 2 steps): larger
+        # worker pools admit bigger scan programs (fewer dispatches per cycle).
+        cycle = NUM_PROCS * 2
+        chunks = tuple(c for c in (16, 32, 64) if c <= cycle) + (16,)
         candidates = [measure_combined_rate(agent, rollout, mem, chunk=c)
-                      for c in (16, 32, 16)]
+                      for c in chunks]
         combined, breakdown = max(candidates, key=lambda x: x[0])
     finally:
         rollout.close()
