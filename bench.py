@@ -292,7 +292,7 @@ def main() -> None:
         # chunk candidates scale with the cycle (NUM_PROCS * 2 steps): larger
         # worker pools admit bigger scan programs (fewer dispatches per cycle).
         cycle = NUM_PROCS * 2
-        chunks = tuple(c for c in (16, 32, 64) if c <= cycle) + (16,)
+        chunks = tuple(c for c in (16, 32, 64) if c <= cycle) or (cycle,)
         candidates = [measure_combined_rate(agent, rollout, mem, chunk=c)
                       for c in chunks]
         combined, breakdown = max(candidates, key=lambda x: x[0])

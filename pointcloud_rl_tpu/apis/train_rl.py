@@ -144,12 +144,13 @@ def train_rl(
         updates_dispatched = 0
         update_hook = None
         fused_active = False
-        if (
+        can_interleave = (
             n_steps > 0 and n_updates > 1 and rollout is not None and replay is not None
             and hasattr(agent, "update_parameters_scan")
             and type(replay).__name__ == "DeviceReplayMemory" and len(replay) > 0
             and n_steps % rollout.num_envs == 0
-        ):
+        )
+        if can_interleave:
             events = max((n_steps // rollout.num_envs) * rollout.pipeline_groups, 1)
             chunk = max(1, n_updates // events)
             hook_state = {"t": 0.0}
@@ -167,12 +168,7 @@ def train_rl(
                 and agent.set_fused_updates(replay, chunk, n_updates)
             )
 
-        if not fused_active and update_hook is None and (
-            n_steps > 0 and n_updates > 1 and rollout is not None and replay is not None
-            and hasattr(agent, "update_parameters_scan")
-            and type(replay).__name__ == "DeviceReplayMemory" and len(replay) > 0
-            and n_steps % rollout.num_envs == 0
-        ):
+        if can_interleave and not fused_active:
             # Fallback: separate update-scan dispatches interleaved with the
             # rollout via the mid-collection hook.
 

@@ -476,8 +476,12 @@ class OpenCabinetEnvBase(MujocoTaskEnv):
         self._step_agent(action)
         self._step_count += 1
 
-        eval_info, success = self._eval()
-        reward, rew_info = self._dense_reward(action, eval_info)
+        # The reference reward reads the RAW flag dict (compute_eval_flag_dict
+        # at open_cabinet_door_drawer.py:315), while hysteresis debouncing
+        # applies only to the eval/success accounting (base_env.py:795-807).
+        raw_flags = self._raw_eval_flags()
+        eval_info, success = self._eval(raw_flags)
+        reward, rew_info = self._dense_reward(action, raw_flags)
         if self.reward_type == "sparse":
             reward = float(success)
         done = bool(success or self._step_count >= self.horizon)
@@ -502,12 +506,15 @@ class OpenCabinetEnvBase(MujocoTaskEnv):
                                  self.target_body, v6, 0)
         return bool(np.linalg.norm(v6[3:]) <= max_v and np.linalg.norm(v6[:3]) <= max_ang_v)
 
-    def _eval(self):
+    def _raw_eval_flags(self):
         qpos, _ = self._target_qpos_now()
-        flags = {
+        return {
             "cabinet_static": self._link_static(),
             "open_enough": bool(qpos >= self.target_qpos),
         }
+
+    def _eval(self, raw_flags=None):
+        flags = dict(self._raw_eval_flags() if raw_flags is None else raw_flags)
         result = self._apply_hysteresis(flags)
         return result, result["success"]
 

@@ -528,9 +528,11 @@ class MoveBucketEnv(MujocoTaskEnv):
 
     # ------------------------------------------------------------ eval/rew
     def _bucket_tilt(self) -> float:
-        """Angle between the bucket z-axis and world up, radians."""
+        """Angle between the bucket z-axis and world up, folded into
+        [0, pi/2] via abs(dot) like the reference angle_between_vec
+        (utils/geometry.py:43-47; move_bucket.py:236,351)."""
         R = self.data.xmat[self._bucket_body].reshape(3, 3)
-        cosang = float(np.clip(R[2, 2], -1.0, 1.0))
+        cosang = float(np.clip(abs(R[2, 2]), 0.0, 1.0))
         return float(np.arccos(cosang))
 
     def _eval(self):
@@ -617,7 +619,9 @@ class MoveBucketEnv(MujocoTaskEnv):
         bucket_height = float(d.xipos[self._bucket_body][2])
         dist_bucket_height = abs(bucket_height - self._init_bucket_height - 0.2)
         z_axis_bucket = Rb @ np.array([0.0, 0.0, 1.0])
-        dist_ori = float(np.arccos(np.clip(z_axis_bucket[2], -1.0, 1.0)))
+        # angle_between_vec folds via abs(dot) into [0, pi/2]
+        # (reference utils/geometry.py:43-47, used at move_bucket.py:236).
+        dist_ori = float(np.arccos(np.clip(abs(z_axis_bucket[2]), 0.0, 1.0)))
         log_dist_ori = np.log(dist_ori + 1e-12)
 
         actor_vel_norm = float(np.linalg.norm(v_lin))

@@ -170,19 +170,27 @@ class OperationalSpaceControlInterface:
         return final_action
 
     def get_robot_qpos_from_obs(self, obs):
-        """Recover the controllable-joint qpos from the agent STATE layout
-        (reference osc.py:162-176 slicing of DummyMobileAgent.get_state:
-        [ee_pos, ee_vel, base_pos, base_orientation, base_vel, base_ang_vel,
-        qpos, qvel, ...])."""
+        """Recover the controllable-joint qpos (base xy+yaw dummied to zero,
+        exactly as the reference does — osc.py:162-176 appends ``zeros(3)``)
+        from THIS repo's agent observation layout.
+
+        ``A2Robot.get_obs`` (a2_robot.py:301, mirroring agent.py:369-433)
+        packs ``[ee_pos(6n), ee_vel(6n), base_vel(2), base_ang_vel(1),
+        qpos(1+9n), qvel(1+9n)]`` and appends ``base_pos(2) +
+        base_orientation(1)`` only when not in ego mode — so the arm qpos
+        block sits at a FIXED offset from the front in both modes.  State-mode
+        task observations are ``concat[agent_obs, task extras]``
+        (mjc_task.py:191-195) and pointcloud observations carry the agent
+        block under the ``"state"`` key, so the slice is front-anchored
+        (the reference slices from the END because its envs append the agent
+        state last; ours lead with it)."""
         if isinstance(obs, dict):
-            agent_state = obs["agent"]
+            agent_state = obs["state"] if "state" in obs else obs["agent"]
         elif isinstance(obs, np.ndarray):
-            len_agent_state = (4 + self.n_arms * 9) * 2 + self.n_arms * 12
-            agent_state = obs[-len_agent_state:]
+            agent_state = obs  # agent block leads the flat state obs
         else:
             raise NotImplementedError()
-        s = agent_state
-        s = s[self.n_arms * 12:]          # remove ee_pos and ee_vel
-        s = s[6:]                          # remove base pos and vel
-        s = s[: (1 + 9 * self.n_arms)]     # remove qvel
-        return np.concatenate([np.zeros(3), s])
+        s = np.asarray(agent_state, np.float64)
+        off = self.n_arms * 12 + 3            # skip ee_pos/ee_vel + base vels
+        qpos_arm = s[off: off + 1 + 9 * self.n_arms]
+        return np.concatenate([np.zeros(3), qpos_arm])

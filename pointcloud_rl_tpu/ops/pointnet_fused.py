@@ -97,7 +97,7 @@ def _body_rows(x, params, compute_dtype):
     return jnp.maximum(_ln_f32(a3, g3, be3), 0.0).astype(c)
 
 
-def _tile_max_argmax(h3, tn):
+def _tile_max_argmax(h3):
     """Per-tile max + FIRST-index argmax over the point axis.
 
     h3: [TB, TN, C].  Returns ([TB, C] max, [TB, C] int32 local argmax).
@@ -120,7 +120,7 @@ def _fwd_kernel(x_ref, w1, b1, w2, b2, g2, be2, w3, b3, g3, be3,
     h3 = _body_rows(x, params, compute_dtype).reshape(tb, tn, -1)
     # max/argmax in f32: lossless upcast of the (bf16-rounded) h3 values,
     # and bf16 3-D broadcast compares trip a mosaic relayout bug
-    tile_max, tile_idx = _tile_max_argmax(h3.astype(jnp.float32), tn)
+    tile_max, tile_idx = _tile_max_argmax(h3.astype(jnp.float32))
     tile_idx = tile_idx + i_n * tn  # global point index
 
     @pl.when(i_n == 0)
@@ -205,10 +205,12 @@ def _forward_pallas(x, params, tile_n, tile_b, compute_dtype, with_idx=True):
     return pooled, idx
 
 
-def _forward_xla(x, params, compute_dtype):
+def _forward_xla(x, params, compute_dtype, with_idx=True):
     B, N, C_in = x.shape
     h3 = _body_rows(x.reshape(B * N, C_in), params, compute_dtype).reshape(B, N, -1)
-    m, idx = _tile_max_argmax(h3, N)
+    if not with_idx:  # act/eval forwards need no winner indices
+        return h3.max(axis=1).astype(jnp.float32), None
+    m, idx = _tile_max_argmax(h3)
     return m.astype(jnp.float32), idx
 
 
@@ -294,7 +296,7 @@ def fused_pointnet_body(x, params, tile_n: int = 512, tile_b: int = 8,
     if _use_pallas():
         pooled, _ = _forward_pallas(x, params, tile_n, tile_b, compute_dtype, with_idx=False)
     else:
-        pooled, _ = _forward_xla(x, params, compute_dtype)
+        pooled, _ = _forward_xla(x, params, compute_dtype, with_idx=False)
     return pooled
 
 

@@ -364,10 +364,16 @@ def test_osc_qpos_from_state_obs():
     if not robot_assets_available():
         pytest.skip("A2 robot assets unavailable")
     osc = OperationalSpaceControlInterface("MoveBucket-v0")
-    # reference get_state layout: ee(24) base(6) qpos(19) qvel(19)
+    # THIS repo's A2Robot.get_obs layout (a2_robot.py:301):
+    # ee(24) base_vel(2) base_ang_vel(1) qpos(19) qvel(19) [+ base pose(3)]
     qpos_arm = np.arange(19, dtype=np.float64)
-    state = np.concatenate([np.zeros(24), np.zeros(6), qpos_arm, np.zeros(19)])
-    q = osc.get_robot_qpos_from_obs(state)
-    assert q.shape == (22,)
-    np.testing.assert_array_equal(q[:3], 0)
-    np.testing.assert_array_equal(q[3:], qpos_arm)
+    for tail in (np.zeros(0), np.ones(3)):  # ego mode / non-ego base pose
+        state = np.concatenate([np.zeros(24), np.zeros(3), qpos_arm,
+                                np.zeros(19), tail]).astype(np.float32)
+        q = osc.get_robot_qpos_from_obs(state)
+        assert q.shape == (22,)
+        np.testing.assert_array_equal(q[:3], 0)
+        np.testing.assert_array_equal(q[3:], qpos_arm)
+        # pointcloud-mode dict obs carries the agent block under "state"
+        q2 = osc.get_robot_qpos_from_obs({"state": state})
+        np.testing.assert_array_equal(q, q2)

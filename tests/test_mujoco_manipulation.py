@@ -161,6 +161,13 @@ def test_a2_robot_controllers_and_obs_layout():
         # scale_action maps [-1,1] onto the YAML action ranges
         hi = rob.scale_action(np.ones(22))
         assert hi[0] == pytest.approx(0.5) and hi[2] == pytest.approx(3.14)
+        # OSC qpos recovery works on a REAL observation from this env
+        from pointcloud_rl_tpu.mani.osc import OperationalSpaceControlInterface
+
+        osc = OperationalSpaceControlInterface("MoveBucket-v0")
+        q = osc.get_robot_qpos_from_obs(env.get_obs())
+        np.testing.assert_allclose(q[3:], rob._qpos_all()[3:], atol=1e-6)
+        np.testing.assert_array_equal(q[:3], 0)  # base dummied like osc.py:175
     finally:
         env.close()
 
