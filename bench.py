@@ -41,6 +41,11 @@ against a 122 steps/s sweep best.  On a locally-attached chip (fetch
 ~= act execution, microsecond dispatch) the same pipeline pencils out at
 ~min(env, grad) ~= 190+ steps/s — the residual vs grad-only 196 is pure
 relay round-trip latency.
+
+Worker-count sweep (PCRL_BENCH_PROCS): 32 workers halve the fetch count
+per env step but the single host core pays more scheduling overhead per
+sim step (env-only 302 -> 253 steps/s), so combined stays ~122 — the
+fetch saving and the sim slowdown cancel.  16 workers remain the default.
 """
 
 from __future__ import annotations

@@ -1,4 +1,5 @@
-# MoveBucketMJC (A2 single arm) learning-evidence run: 100k steps of
+# MoveBucketMJC (mobile A2 dual arm, the env default) learning-evidence
+# run: 100k steps of
 # DrQ+PointNet with per-stage reward decomposition in the train logs
 # (stage_reward and the staged-gate quantities from
 # env/mujoco_manipulation.py:_compute_reward, reference
