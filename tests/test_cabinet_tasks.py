@@ -193,6 +193,10 @@ def test_open_enough_latches_with_hysteresis():
             mujoco.mj_forward(env.model, env.data)
             _, _, done, info = env.step(np.zeros(env.action_space.shape, np.float32))
             seen.append(info["eval_info"]["open_enough"])
+            # the REWARD sees the raw flag immediately (reference new_reward
+            # reads compute_eval_flag_dict() directly, no hysteresis —
+            # open_cabinet_door_drawer.py:315); only eval/success debounces
+            assert info["open_enough"] == 1.0
             if done:
                 break
         assert not seen[0] and seen[-1], seen

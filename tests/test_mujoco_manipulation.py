@@ -66,6 +66,17 @@ def test_step_reward_and_eval_flags(env):
     for key in ("dist_ee_actor", "dist_pos", "dist_ori", "ees_oppo", "stage_reward"):
         assert key in info, key
     assert info["stage_reward"] <= -18  # far from the bucket at reset
+    # tilt folds through abs(dot) into [0, pi/2] like the reference
+    # angle_between_vec (utils/geometry.py:43-47): an INVERTED bucket reads 0
+    import mujoco
+
+    qp = env._bucket_qpos
+    quat_before = env.data.qpos[qp + 3: qp + 7].copy()
+    env.data.qpos[qp + 3: qp + 7] = [0.0, 1.0, 0.0, 0.0]  # 180 deg about x
+    mujoco.mj_forward(env.model, env.data)
+    assert env._bucket_tilt() == pytest.approx(0.0, abs=1e-6)
+    env.data.qpos[qp + 3: qp + 7] = quat_before
+    mujoco.mj_forward(env.model, env.data)
 
 
 def test_success_when_bucket_placed(env):
