@@ -137,7 +137,12 @@ def measure_grad_rate(agent, mem):
 
 
 def update_flops(agent, mem):
-    """XLA's own cost analysis of the fused sample+update program."""
+    """XLA's own cost analysis of the fused sample+update program.
+
+    NOTE: cost analysis cannot see inside pallas_call kernels, so with the
+    fused PointNet (the default) the per-update FLOP count — and therefore
+    the printed MFU — is a LOWER bound (~92 vs ~144 GFLOP counted on the
+    pure-XLA path)."""
     import jax
 
     from pointcloud_rl_tpu.utils.flops import cost_analysis
