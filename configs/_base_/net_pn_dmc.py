@@ -8,7 +8,13 @@ _base_ = ["./sac_agent.py"]
 # no 20+ MB host->device batch copy per update.  bf16 runs the matmuls on
 # the MXU at ~1.5x the f32 update rate (params/LN/losses stay f32).
 # Multi-worker pipelined collection overlaps policy fetches with host sims.
-replay_cfg = dict(type="DeviceReplayMemory", capacity=100000)
+# Obs transfer: the FrameStack pos_encoding block is a constant one-hot —
+# drop it from uploads/HBM storage and re-synthesize it on device (EXACT,
+# see algorithms/obs_transfer.py; tests/test_obs_transfer.py pins act +
+# update bit-parity).  Cuts act-dispatch payload by pos_rows/(all channels)
+# and replay obs storage/upload the same.
+replay_cfg = dict(type="DeviceReplayMemory", capacity=100000,
+                  transfer_cfg=dict(drop_subkeys=("pos_encoding",)))
 rollout_cfg = dict(type="Rollout", num_procs=4)
 # 4 env steps : 4 updates per cycle — the same 1:1 update-to-data ratio as
 # the reference's n_steps=1/n_updates=1, batched so the 4 workers step
@@ -17,6 +23,7 @@ train_cfg = dict(n_steps=4, n_updates=4)
 
 agent_cfg = dict(
     bf16=True,
+    obs_transfer_cfg=dict(pos_encoding_on_device=True),
     actor_cfg=dict(
         type="ContinuousActor",
         head_cfg=dict(type="TanhGaussianHead", log_std_bound=[-10, 2]),

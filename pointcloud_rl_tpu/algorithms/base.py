@@ -80,22 +80,29 @@ def example_obs_from_shape(obs_shape, batch: int = 1):
     return np.zeros((batch,) + shape, np.float32)
 
 
-def pack_pointcloud_obs(obs: Dict[str, Any]):
+def pack_pointcloud_obs(obs: Dict[str, Any], spec=None):
     """Fuse a pointcloud obs dict into ONE float32 array (+ robot state).
 
     Exactly replicates PointNet preprocess channel assembly (xyz, rgb/255,
     pos_encoding, seg channel-first) on the host, so inference needs a
     single host->device upload instead of one per leaf — on remote/tunneled
     devices each upload is a round trip.
+
+    ``spec`` (ObsTransferSpec): optionally skip the constant pos_encoding
+    block (re-synthesized on device by ``_device_obs``) and/or pack in a
+    narrower wire dtype — see algorithms/obs_transfer.py.
     """
     feats = [np.asarray(obs["xyz"], np.float32)]
     if "rgb" in obs:
         rgb = np.asarray(obs["rgb"])
         feats.append(rgb.astype(np.float32) / 255.0 if rgb.dtype == np.uint8 else rgb.astype(np.float32))
+    drop_pos = spec is not None and spec.drop_pos_encoding
     for key in ("pos_encoding", "seg"):
-        if key in obs:
+        if key in obs and not (drop_pos and key == "pos_encoding"):
             feats.append(np.asarray(obs[key], np.float32))
     packed = np.concatenate(feats, axis=-2)
+    if spec is not None and spec.pack_dtype is not None:
+        packed = packed.astype(spec.pack_dtype)
     state = obs.get("state", obs.get("agent"))
     return packed, (np.asarray(state, np.float32) if state is not None else None)
 
@@ -107,6 +114,37 @@ class BaseAgent:
         self._act_fns: Dict[str, Callable] = {}
         self.train_state = None
         self.device = jax.devices()[0]
+        self.obs_transfer = None  # ObsTransferSpec (init_obs_transfer)
+
+    def init_obs_transfer(self, cfg, obs_shape) -> None:
+        """Arm the obs payload reductions (algorithms/obs_transfer.py):
+        drop the constant pos_encoding block from uploads/storage and
+        re-synthesize it on device, optionally packing the act upload in a
+        narrower dtype.  Call from the agent constructor with the env
+        probe's obs shapes."""
+        from .obs_transfer import make_obs_transfer
+
+        self.obs_transfer = make_obs_transfer(cfg, obs_shape)
+
+    def _device_obs(self, obs):
+        """Trace-time obs completion inside jitted programs: re-attach the
+        pos_encoding block a transfer spec dropped host-side.  No-op when
+        the spec is off or the obs already carry the block (key/channel
+        presence is static at trace time)."""
+        spec = self.obs_transfer
+        if spec is None:
+            return obs
+        from .obs_transfer import complete_obs_dict, complete_packed
+
+        if not isinstance(obs, dict):
+            return complete_packed(jnp.asarray(obs), spec) if spec.drop_pos_encoding or spec.pack_dtype else obs
+        if "packed" in obs:
+            obs = dict(obs)
+            obs["packed"] = complete_packed(jnp.asarray(obs["packed"]), spec)
+            return obs
+        if spec.drop_pos_encoding:
+            return complete_obs_dict(obs, spec)
+        return obs
 
     # -- train/eval mode are no-ops (kept for API parity; flax is stateless)
     def train(self):
@@ -130,7 +168,7 @@ class BaseAgent:
             and "xyz" in obs
             and getattr(self, "inference_aug", None) is None
         ):
-            packed, state = pack_pointcloud_obs(obs)
+            packed, state = pack_pointcloud_obs(obs, spec=self.obs_transfer)
             obs = packed if state is None else {"state": state, "packed": packed}
         model = getattr(self, "model", None)
         if (

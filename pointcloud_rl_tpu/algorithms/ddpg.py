@@ -60,6 +60,7 @@ class DDPG(SAC):
         @jax.jit
         def act(state: SACState, obs):
             rng, k_n = jax.random.split(state.rng)
+            obs = self._device_obs(obs)
             out, _ = self.model.actor_apply(state.params, obs, mode="eval")
             noise = self.exploration_noise * jax.random.normal(k_n, out.shape)
             a = out + noise

@@ -1,0 +1,98 @@
+"""Observation transfer spec: shrink host->device obs payloads.
+
+TPU-native data-plane optimization (no reference counterpart — the
+reference's CUDA pipeline pays a PCIe copy per batch and never thinks
+about it, SURVEY.md §2.7): on a tunneled/remote TPU every byte of the act
+dispatch rides the relay, and every byte of a replay push shares the same
+link, so obs payload size directly taxes the action-fetch latency that
+bounds combined throughput (see bench.py's relay accounting).
+
+Two independent reductions, both opt-in via ``agent_cfg.obs_transfer_cfg``:
+
+1. ``pos_encoding_on_device``: the FrameStack wrapper's ``pos_encoding``
+   channel block (env/api.py:199-227, reference wrappers.py:242-270) is a
+   CONSTANT one-hot frame index — eye(F) repeated over each frame's points.
+   Uploading it with every act dispatch and storing it per transition in
+   HBM replay is pure waste.  Instead the host drops the block and the
+   jitted programs re-synthesize it on device (bitwise identical values,
+   so this path is EXACT — no numerics deviation).
+2. ``pack_dtype``: pack the act-path upload in float16 (xyz at mm-scale
+   precision; rgb in [0,1] at 1e-3) and cast back to float32 on device.
+   Quantizes inference inputs only when set — training batches follow the
+   replay's own ``transfer_cfg`` dtype map.
+
+The update path completes obs dicts by KEY PRESENCE at trace time: batches
+whose ``obs`` lack ``pos_encoding`` (device replay configured with
+``drop_subkeys``) get the synthesized block inserted before any
+augmentation, preserving the reference channel order
+xyz, rgb, pos_encoding, seg (pyrl pointnet.py:49-73) exactly.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Any, Dict, Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+
+@dataclass(frozen=True)
+class ObsTransferSpec:
+    pos_rows: int  # F: pos_encoding channel count == stacked frame count
+    insert_at: int  # channel offset of the block in the packed layout
+    points_per_frame: int  # N // F (frame-major point ordering)
+    drop_pos_encoding: bool = True
+    pack_dtype: Optional[Any] = None  # e.g. np.float16 for the act upload
+
+
+def make_obs_transfer(cfg: Optional[dict], obs_shape) -> Optional[ObsTransferSpec]:
+    """Build the spec from the agent config + env obs shapes (run_rl's
+    env probe).  Returns None when disabled or the obs carry no
+    pos_encoding (nothing to drop)."""
+    if not cfg:
+        return None
+    cfg = dict(cfg)
+    drop = bool(cfg.pop("pos_encoding_on_device", True))
+    pack_dtype = cfg.pop("pack_dtype", None)
+    assert not cfg, f"unknown obs_transfer_cfg keys: {sorted(cfg)}"
+    if pack_dtype is not None:
+        pack_dtype = np.dtype(pack_dtype)
+    if not (isinstance(obs_shape, dict) and "pos_encoding" in obs_shape):
+        drop = False
+        if pack_dtype is None:
+            return None
+        return ObsTransferSpec(0, 0, 0, drop_pos_encoding=False, pack_dtype=pack_dtype)
+    rows, n = (int(s) for s in obs_shape["pos_encoding"])
+    assert n % rows == 0, f"pos_encoding {rows}x{n}: N not divisible by frames"
+    insert_at = int(obs_shape["xyz"][0]) + (int(obs_shape["rgb"][0]) if "rgb" in obs_shape else 0)
+    return ObsTransferSpec(rows, insert_at, n // rows, drop_pos_encoding=drop, pack_dtype=pack_dtype)
+
+
+def synth_pos_encoding(rows: int, points_per_frame: int, dtype=jnp.float32) -> jnp.ndarray:
+    """[rows, rows*points_per_frame] one-hot block == FrameStack's
+    ``np.repeat(np.eye(F), num_points, axis=-1)`` (env/api.py:215)."""
+    return jnp.repeat(jnp.eye(rows, dtype=dtype), points_per_frame, axis=-1)
+
+
+def complete_packed(x: jnp.ndarray, spec: ObsTransferSpec) -> jnp.ndarray:
+    """Insert the synthesized block into a packed [..., C, N] act upload and
+    cast to float32.  No-op (cast only) when the block wasn't dropped."""
+    x = x.astype(jnp.float32)
+    if not spec.drop_pos_encoding:
+        return x
+    pe = synth_pos_encoding(spec.pos_rows, spec.points_per_frame)
+    pe = jnp.broadcast_to(pe, x.shape[:-2] + pe.shape)
+    return jnp.concatenate([x[..., : spec.insert_at, :], pe, x[..., spec.insert_at :, :]], axis=-2)
+
+
+def complete_obs_dict(obs: Dict[str, Any], spec: ObsTransferSpec) -> Dict[str, Any]:
+    """Re-attach ``pos_encoding`` to an obs dict whose copy was stripped for
+    transfer/storage.  Key-presence check is trace-time (static)."""
+    if "pos_encoding" in obs or "xyz" not in obs:
+        return obs
+    leaf = obs["xyz"]
+    pe = synth_pos_encoding(spec.pos_rows, spec.points_per_frame)
+    obs = dict(obs)
+    obs["pos_encoding"] = jnp.broadcast_to(pe, leaf.shape[:-2] + pe.shape)
+    return obs

@@ -71,8 +71,10 @@ class SAC(BaseAgent):
         metric_prefix: str = "sac",
         bf16: bool = False,
         stale_actor_feature: bool = False,
+        obs_transfer_cfg: Optional[dict] = None,
     ):
         super().__init__()
+        self.init_obs_transfer(obs_transfer_cfg, env_params["obs_shape"])
         self.is_discrete = bool(env_params["is_discrete"])
         self.batch_size = batch_size
         self.gamma = float(gamma)
@@ -195,6 +197,14 @@ class SAC(BaseAgent):
         """Jit wrapper packing metrics into ONE vector: a remote-device fetch
         of a dict of scalars costs one round trip per leaf; one stacked array
         costs one."""
+        if self.obs_transfer is not None:
+            # Re-attach the transfer-dropped pos_encoding block BEFORE any
+            # augmentation (augs may permute/subsample points; completion
+            # first keeps the reference channel alignment exact).
+            batch = dict(batch)
+            for key in ("obs", "next_obs"):
+                if isinstance(batch.get(key), dict):
+                    batch[key] = self._device_obs(batch[key])
         state, metrics = self._update_step(state, batch)
         keys = sorted(metrics)
         self._metric_keys = keys  # trace-time side effect; keys are static
@@ -210,6 +220,7 @@ class SAC(BaseAgent):
             @jax.jit
             def act_recurrent(state: SACState, obs, rnn_states):
                 rng, k_s, k_aug = jax.random.split(state.rng, 3)
+                obs = self._device_obs(obs)
                 if inference_aug is not None and isinstance(obs, dict):
                     obs = inference_aug(k_aug, obs)
                 out, _, next_states = self.model.actor_apply(
@@ -223,6 +234,7 @@ class SAC(BaseAgent):
         @jax.jit
         def act(state: SACState, obs):
             rng, k_s, k_aug = jax.random.split(state.rng, 3)
+            obs = self._device_obs(obs)
             if inference_aug is not None and isinstance(obs, dict):
                 obs = inference_aug(k_aug, obs)
             out, _ = self.model.actor_apply(state.params, obs, mode=head_mode, rng=k_s)
@@ -358,7 +370,7 @@ class SAC(BaseAgent):
 
             state, vecs = jax.lax.scan(body, state, None, length=n)
             rng, k_s, k_aug = jax.random.split(state.rng, 3)
-            o = obs
+            o = self._device_obs(obs)
             if inference_aug is not None and isinstance(o, dict):
                 o = inference_aug(k_aug, o)
             out, _ = self.model.actor_apply(state.params, o, mode="explore", rng=k_s)

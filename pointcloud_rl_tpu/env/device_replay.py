@@ -46,12 +46,17 @@ class DeviceReplayMemory:
     """Same interface as ReplayMemory where the hot loop touches it."""
 
     def __init__(self, capacity: int, sampling_cfg: Optional[dict] = None, keys: Optional[List[str]] = None,
-                 seed: Optional[int] = None, **kwargs):
+                 seed: Optional[int] = None, transfer_cfg: Optional[dict] = None, **kwargs):
         self.capacity = int(capacity)
         self.storage = None  # pytree of [capacity, ...] device arrays
         self.position = 0
         self.running_count = 0
         self.keys = keys
+        # Obs payload reductions applied before upload/storage (see
+        # algorithms/obs_transfer.py): drop_subkeys removes constant blocks
+        # the update re-synthesizes on device (e.g. pos_encoding);
+        # dtype_map narrows wire+HBM dtypes per sub-key (e.g. xyz float16).
+        self.transfer_cfg = dict(transfer_cfg) if transfer_cfg else None
         self.sharding = None  # set via place_on() under a data-parallel mesh
         self._key = jax.random.PRNGKey(seed if seed is not None else 0)
         # trajectory caching (full-episode mode) stays host-side
@@ -91,6 +96,24 @@ class DeviceReplayMemory:
         items = {k: v for k, v in items.items() if k not in _SKIP_KEYS}
         if self.keys is not None:
             items = {k: v for k, v in items.items() if k in self.keys}
+        if self.transfer_cfg:
+            drop = set(self.transfer_cfg.get("drop_subkeys", ()))
+            dmap = self.transfer_cfg.get("dtype_map", {})
+
+            def _rec(tree):
+                if not isinstance(tree, dict):
+                    return tree
+                out = {}
+                for k, v in tree.items():
+                    if k in drop:
+                        continue
+                    v = _rec(v)
+                    if k in dmap and hasattr(v, "astype"):
+                        v = np.asarray(v).astype(dmap[k])
+                    out[k] = v
+                return out
+
+            items = {k: _rec(v) for k, v in items.items()}
         return items
 
     def _alloc(self, items) -> None:
