@@ -32,6 +32,7 @@ class Rollout:
         base_seed: Optional[int] = None,
         pipeline_groups: Optional[int] = None,
         vec_backend: Optional[str] = None,
+        eager_push: bool = False,
         **kwargs,
     ):
         self.vec_env = build_vec_env(env_cfg, num_procs, base_seed=base_seed,
@@ -45,6 +46,12 @@ class Rollout:
         if pipeline_groups is None:
             pipeline_groups = 2 if self.num_envs >= 2 else 1
         self.pipeline_groups = max(1, min(int(pipeline_groups), self.num_envs))
+        # eager_push: flush collected transitions to the replay right after
+        # an act DISPATCH instead of once at the end of the collection call —
+        # the push's host->device upload then rides the action fetch's idle
+        # round-trip window instead of delaying the NEXT act dispatch
+        # (remote-relay scheduling; see DESIGN.md §8).
+        self.eager_push = bool(eager_push)
         self.timer = Timer()
         self.logger = get_logger("pcrl.rollout")
         self.episode_stats = EpisodicStatistics(self.num_envs)
@@ -169,6 +176,18 @@ class Rollout:
         def _obs_of(idx):
             return tree_map(lambda x: x[idx], self.vec_env.recent_obs)
 
+        def _flush(t0):
+            nonlocal t_copy
+            from ..utils.tree_ops import tree_concat
+
+            batch = collected[0] if len(collected) == 1 else tree_concat(collected, 0)
+            collected.clear()
+            if replay is not None:
+                replay.push_batch(batch)
+            if recent_replay is not None:
+                recent_replay.push_batch(batch)
+            t_copy += _time.monotonic() - t0
+
         def _finish(g, idx, block: bool):
             nonlocal last, t_sim
             t0 = _time.monotonic()
@@ -207,6 +226,8 @@ class Rollout:
                     # steps/s on the relay for groups=1, chunk=16.)
                     if update_hook is not None:
                         update_hook()
+                    if self.eager_push and collected and (replay is not None or recent_replay is not None):
+                        _flush(_time.monotonic())
                     progress = True
                 elif state[g] == ACT_PENDING and futures[g].is_ready():
                     t0 = _time.monotonic()
@@ -234,17 +255,10 @@ class Rollout:
                     _finish(sim[0], groups[sim[0]], block=True)
 
         if collected and (replay is not None or recent_replay is not None):
-            # ONE batched push per collection call: a device replay pays one
-            # jitted ring-write dispatch instead of one per group-step.
-            t0 = _time.monotonic()
-            from ..utils.tree_ops import tree_concat
-
-            batch = tree_concat(collected, 0)
-            if replay is not None:
-                replay.push_batch(batch)
-            if recent_replay is not None:
-                recent_replay.push_batch(batch)
-            t_copy += _time.monotonic() - t0
+            # ONE batched push per collection call (or the tail the eager
+            # flushes didn't cover): a device replay pays one jitted
+            # ring-write dispatch instead of one per group-step.
+            _flush(_time.monotonic())
 
         self.timer.add("agent", t_agent)
         self.timer.add("simulation", t_sim)

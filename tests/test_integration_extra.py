@@ -183,3 +183,36 @@ def test_update_hook_fires_at_act_dispatch():
         agent.forward_async = orig_fwd
         vec.step_dict_async = orig_step
         rollout.close()
+
+
+def test_eager_push_matches_default():
+    """eager_push flushes collected transitions at act-dispatch time (relay
+    scheduling: the upload rides the fetch's idle round trip) — replay
+    contents must equal the default end-of-call push exactly."""
+    import numpy as np
+
+    from pointcloud_rl_tpu.algorithms import build_agent
+    from pointcloud_rl_tpu.env import DeviceReplayMemory, Rollout
+
+    from tests.test_algorithms import _state_agent_cfg
+
+    env_cfg = dict(type="gym", env_name="reacher3d_easy-v0", obs_mode="state")
+
+    def collect(eager):
+        rollout = Rollout(env_cfg=env_cfg, num_procs=4, base_seed=0,
+                          pipeline_groups=1, eager_push=eager)
+        agent = build_agent(_state_agent_cfg(obs_dim=4, action_dim=3, batch_size=8, seed=5))
+        mem = DeviceReplayMemory(capacity=256, seed=0)
+        try:
+            rollout.forward_with_policy(agent, 16, mem)
+        finally:
+            rollout.close()
+        return mem.get_all()
+
+    a = collect(False)
+    b = collect(True)
+    assert set(a) == set(b)
+    for k in a:
+        np.testing.assert_allclose(
+            np.asarray(a[k], np.float32), np.asarray(b[k], np.float32),
+            rtol=0, atol=0, err_msg=k)
