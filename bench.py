@@ -78,6 +78,16 @@ GRAD_SCAN = NUM_PROCS  # updates per dispatched program; == NUM_PROCS so the
 PEAK_FLOPS = 197e12
 
 
+# PCRL_BENCH_TRANSFER: obs-transfer payload reduction (algorithms/
+# obs_transfer.py) — "1"/"pos" drops the constant pos_encoding block from
+# act uploads + replay storage (exact), "f16" additionally packs the act
+# upload in float16.  PCRL_BENCH_EAGER=1 flushes replay pushes at
+# act-dispatch time (rollout eager_push).  Sweep knobs; defaults follow
+# whatever the measured winner is (see module docstring).
+TRANSFER = _os.environ.get("PCRL_BENCH_TRANSFER", "pos")
+EAGER_PUSH = _os.environ.get("PCRL_BENCH_EAGER", "0") == "1"
+
+
 def build_agent():
     from __graft_entry__ import _agent_cfg
 
@@ -96,6 +106,10 @@ def build_agent():
     # under); bench measures that same path.  The library DEFAULT is False
     # (exact reference ordering, golden-tested).
     cfg["stale_actor_feature"] = True
+    if TRANSFER in ("1", "pos"):
+        cfg["obs_transfer_cfg"] = dict(pos_encoding_on_device=True)
+    elif TRANSFER == "f16":
+        cfg["obs_transfer_cfg"] = dict(pos_encoding_on_device=True, pack_dtype="float16")
     return _build(cfg)
 
 
@@ -109,6 +123,7 @@ def device_memory(capacity=4096, fill=2048):
     mem = DeviceReplayMemory(
         capacity=capacity, seed=0,
         keys=["obs", "next_obs", "actions", "rewards", "dones", "episode_dones"],
+        transfer_cfg=(dict(drop_subkeys=("pos_encoding",)) if TRANSFER in ("1", "pos", "f16") else None),
     )
     mem.push_batch(_example_batch(fill, N_POINTS, ACTION_DIM, seed=0))
     return mem
@@ -162,12 +177,12 @@ def make_rollout():
     env_cfg = dict(type="gym", env_name="dmc_walker_walk-v0", obs_mode="pointcloud", stack_frame=3)
     try:
         return Rollout(env_cfg=env_cfg, num_procs=NUM_PROCS, base_seed=0,
-                       pipeline_groups=PIPELINE_GROUPS), "dmc_walker_walk"
+                       pipeline_groups=PIPELINE_GROUPS, eager_push=EAGER_PUSH), "dmc_walker_walk"
     except Exception as e:
         print(f"# walker env unavailable ({type(e).__name__}: {e}); falling back to DistEnv", file=sys.stderr)
         env_cfg = dict(type="gym", env_name="reacher3d_easy-v0", obs_mode="pointcloud")
         return Rollout(env_cfg=env_cfg, num_procs=NUM_PROCS, base_seed=0,
-                       pipeline_groups=PIPELINE_GROUPS), "dist_env"
+                       pipeline_groups=PIPELINE_GROUPS, eager_push=EAGER_PUSH), "dist_env"
 
 
 def measure_env_rate(rollout, steps=256):
