@@ -168,8 +168,17 @@ class BaseAgent:
             and "xyz" in obs
             and getattr(self, "inference_aug", None) is None
         ):
-            packed, state = pack_pointcloud_obs(obs, spec=self.obs_transfer)
-            obs = packed if state is None else {"state": state, "packed": packed}
+            spec = self.obs_transfer
+            if spec is not None and spec.pack_mode == "dict":
+                # Ship the env's native leaves (rgb stays uint8 — exact and
+                # 4x narrower than the f32 pack) minus the dropped constant.
+                obs = {k: v for k, v in obs.items()
+                       if not (spec.drop_pos_encoding and k == "pos_encoding")}
+                if spec.pack_dtype is not None:
+                    obs["xyz"] = np.asarray(obs["xyz"]).astype(spec.pack_dtype)
+            else:
+                packed, state = pack_pointcloud_obs(obs, spec=spec)
+                obs = packed if state is None else {"state": state, "packed": packed}
         model = getattr(self, "model", None)
         if (
             mode == "explore"

@@ -210,3 +210,23 @@ def test_eval_path_with_transfer():
     obs = _obs(2)
     a = agent.forward(obs, mode="eval")
     assert a.shape == (2, A) and np.isfinite(a).all()
+
+
+def test_act_exact_with_dict_mode():
+    """pack_mode='dict' ships native leaves (rgb uint8); the /255 then runs
+    on device where XLA may fuse it differently than host numpy (reciprocal
+    multiply), so parity is float-rounding-exact rather than bitwise."""
+    base = build_agent(_agent_cfg())
+    opt = build_agent(_agent_cfg(obs_transfer_cfg=dict(pos_encoding_on_device=True, pack_mode="dict")))
+    obs = _obs(5)
+    for mode in ("eval", "explore"):
+        np.testing.assert_allclose(opt.forward(obs, mode=mode), base.forward(obs, mode=mode),
+                                   rtol=0, atol=1e-6)
+
+
+def test_act_close_with_dict_mode_f16_xyz():
+    base = build_agent(_agent_cfg())
+    opt = build_agent(_agent_cfg(obs_transfer_cfg=dict(
+        pos_encoding_on_device=True, pack_mode="dict", pack_dtype="float16")))
+    obs = _obs(5)
+    np.testing.assert_allclose(opt.forward(obs, mode="eval"), base.forward(obs, mode="eval"), atol=5e-3)
