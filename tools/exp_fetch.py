@@ -64,6 +64,9 @@ def main():
     cfg = dict(base_cfg)
     cfg["obs_transfer_cfg"] = dict(pos_encoding_on_device=True, pack_dtype="float16")
     agents["f16"] = build_agent(cfg)
+    cfg = dict(base_cfg)
+    cfg["obs_transfer_cfg"] = dict(pos_encoding_on_device=True, pack_mode="dict")
+    agents["dict"] = build_agent(cfg)
 
     results = {}
     for name, agent in agents.items():
@@ -84,14 +87,16 @@ def main():
     a0 = np.asarray(agents["full"].forward(obs, mode="eval"))
     a1 = np.asarray(agents["nopos"].forward(obs, mode="eval"))
     a2 = np.asarray(agents["f16"].forward(obs, mode="eval"))
-    print(f"# nopos exact: {np.allclose(a0, a1)}; f16 max|delta|: {np.abs(a2 - a0).max():.2e}")
+    a3 = np.asarray(agents["dict"].forward(obs, mode="eval"))
+    print(f"# nopos exact: {np.allclose(a0, a1)}; f16 max|delta|: {np.abs(a2 - a0).max():.2e}; "
+          f"dict max|delta|: {np.abs(a3 - a0).max():.2e}")
 
     # combined headline with the winning transfer config
-    best = min(("nopos", "f16"), key=lambda k: results[k][1])
+    best = min(("nopos", "f16", "dict"), key=lambda k: results[k][1])
     print(f"# combined re-run with transfer={best}", flush=True)
     agent = agents[best]
     mem = bench.device_memory()
-    if best in ("nopos", "f16"):
+    if getattr(mem, "transfer_cfg", None) is None:
         mem.transfer_cfg = dict(drop_subkeys=("pos_encoding",))
         mem.storage = None
         mem.reset()
@@ -100,11 +105,13 @@ def main():
         mem.push_batch(_example_batch(2048, n_points, action_dim, seed=0))
     rollout, env_name = bench.make_rollout()
     try:
-        for chunk in (16, 32):
-            rate, br = bench.measure_combined_rate(agent, rollout, mem, chunk=chunk)
-            rate2, _ = bench.measure_combined_rate(agent, rollout, mem, chunk=chunk)
-            print(f"combined({env_name}, chunk={chunk}, transfer={best}): "
-                  f"{max(rate, rate2):.1f} steps/s split={br}", flush=True)
+        for eager in (False, True):
+            rollout.eager_push = eager
+            for chunk in (16, 32):
+                rate, br = bench.measure_combined_rate(agent, rollout, mem, chunk=chunk)
+                rate2, _ = bench.measure_combined_rate(agent, rollout, mem, chunk=chunk)
+                print(f"combined({env_name}, chunk={chunk}, transfer={best}, eager_push={eager}): "
+                      f"{max(rate, rate2):.1f} steps/s split={br}", flush=True)
     finally:
         rollout.close()
 
