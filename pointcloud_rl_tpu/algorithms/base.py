@@ -171,9 +171,12 @@ class BaseAgent:
             spec = self.obs_transfer
             if spec is not None and spec.pack_mode == "dict":
                 # Ship the env's native leaves (rgb stays uint8 — exact and
-                # 4x narrower than the f32 pack) minus the dropped constant.
-                obs = {k: v for k, v in obs.items()
-                       if not (spec.drop_pos_encoding and k == "pos_encoding")}
+                # 4x narrower than the f32 pack) minus the dropped constant;
+                # only the model-consumed keys ride the wire (same key set
+                # the packed path assembles + the robot state).
+                keep = ("xyz", "rgb", "seg", "state", "agent") + (
+                    () if spec.drop_pos_encoding else ("pos_encoding",))
+                obs = {k: v for k, v in obs.items() if k in keep}
                 if spec.pack_dtype is not None:
                     obs["xyz"] = np.asarray(obs["xyz"]).astype(spec.pack_dtype)
             else:
