@@ -48,6 +48,10 @@ class ObsTransferSpec:
     # "dict": ship the env's native leaves (xyz f32 + rgb uint8 — EXACT and
     # ~40% narrower than the f32 pack; two uploads instead of one).
     pack_mode: str = "packed"
+    # channel count of the REDUCED pack (all blocks minus pos_encoding) —
+    # lets complete_packed distinguish a stripped pack from an already-full
+    # one instead of blindly inserting a second block.
+    packed_channels: int = 0
 
 
 def make_obs_transfer(cfg: Optional[dict], obs_shape) -> Optional[ObsTransferSpec]:
@@ -73,8 +77,10 @@ def make_obs_transfer(cfg: Optional[dict], obs_shape) -> Optional[ObsTransferSpe
     rows, n = (int(s) for s in obs_shape["pos_encoding"])
     assert n % rows == 0, f"pos_encoding {rows}x{n}: N not divisible by frames"
     insert_at = int(obs_shape["xyz"][0]) + (int(obs_shape["rgb"][0]) if "rgb" in obs_shape else 0)
+    packed_channels = sum(int(obs_shape[k][0]) for k in ("xyz", "rgb", "seg") if k in obs_shape)
     return ObsTransferSpec(rows, insert_at, n // rows, drop_pos_encoding=drop,
-                           pack_dtype=pack_dtype, pack_mode=pack_mode)
+                           pack_dtype=pack_dtype, pack_mode=pack_mode,
+                           packed_channels=packed_channels)
 
 
 def synth_pos_encoding(rows: int, points_per_frame: int, dtype=jnp.float32) -> jnp.ndarray:
@@ -85,10 +91,18 @@ def synth_pos_encoding(rows: int, points_per_frame: int, dtype=jnp.float32) -> j
 
 def complete_packed(x: jnp.ndarray, spec: ObsTransferSpec) -> jnp.ndarray:
     """Insert the synthesized block into a packed [..., C, N] act upload and
-    cast to float32.  No-op (cast only) when the block wasn't dropped."""
+    cast to float32.  No-op (cast only) when the block wasn't dropped or the
+    array already carries the full channel set (trace-time shape check)."""
     x = x.astype(jnp.float32)
     if not spec.drop_pos_encoding:
         return x
+    channels = x.shape[-2]
+    if channels == spec.packed_channels + spec.pos_rows:
+        return x  # already complete (e.g. a pre-packed full obs array)
+    assert channels == spec.packed_channels, (
+        f"packed obs carries {channels} channels; expected the reduced "
+        f"{spec.packed_channels} (stripped) or {spec.packed_channels + spec.pos_rows} (full)"
+    )
     pe = synth_pos_encoding(spec.pos_rows, spec.points_per_frame)
     pe = jnp.broadcast_to(pe, x.shape[:-2] + pe.shape)
     return jnp.concatenate([x[..., : spec.insert_at, :], pe, x[..., spec.insert_at :, :]], axis=-2)

@@ -93,28 +93,12 @@ class DeviceReplayMemory:
         self.running_count = 0
 
     def _clean(self, items: Dict[str, Any]) -> Dict[str, Any]:
+        from .replay import apply_transfer
+
         items = {k: v for k, v in items.items() if k not in _SKIP_KEYS}
         if self.keys is not None:
             items = {k: v for k, v in items.items() if k in self.keys}
-        if self.transfer_cfg:
-            drop = set(self.transfer_cfg.get("drop_subkeys", ()))
-            dmap = self.transfer_cfg.get("dtype_map", {})
-
-            def _rec(tree):
-                if not isinstance(tree, dict):
-                    return tree
-                out = {}
-                for k, v in tree.items():
-                    if k in drop:
-                        continue
-                    v = _rec(v)
-                    if k in dmap and hasattr(v, "astype"):
-                        v = np.asarray(v).astype(dmap[k])
-                    out[k] = v
-                return out
-
-            items = {k: _rec(v) for k, v in items.items()}
-        return items
+        return apply_transfer(items, self.transfer_cfg)
 
     def _alloc(self, items) -> None:
         def _zeros(x):

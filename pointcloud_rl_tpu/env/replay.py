@@ -30,6 +30,27 @@ from .builder import REPLAYS, build_sampling
 _SKIP_KEYS = ("infos",)
 
 
+def apply_transfer(items: Dict[str, Any], transfer_cfg: Optional[dict]) -> Dict[str, Any]:
+    """Storage/wire reductions applied before a replay ingests a batch (see
+    algorithms/obs_transfer.py): ``drop_subkeys`` removes keys anywhere in
+    the tree (top level included) whose content the update re-synthesizes on
+    device (e.g. the constant pos_encoding); ``dtype_map`` narrows matching
+    keys' dtypes (e.g. xyz -> float16)."""
+    if not transfer_cfg:
+        return items
+    drop = set(transfer_cfg.get("drop_subkeys", ()))
+    dmap = transfer_cfg.get("dtype_map", {})
+
+    def _rec(key, value):
+        if isinstance(value, dict):
+            return {k: _rec(k, v) for k, v in value.items() if k not in drop}
+        if key in dmap and hasattr(value, "astype"):
+            return np.asarray(value).astype(dmap[key])
+        return value
+
+    return {k: _rec(k, v) for k, v in items.items() if k not in drop}
+
+
 @REPLAYS.register_module()
 class ReplayMemory:
     def __init__(
@@ -43,12 +64,14 @@ class ReplayMemory:
         dynamic_loading: Optional[bool] = None,
         cache_files_ahead: int = 2,
         num_samples: int = -1,
+        transfer_cfg: Optional[dict] = None,
     ):
         self.capacity = int(capacity)
         self.memory = None
         self.position = 0
         self.running_count = 0
         self.keys = keys
+        self.transfer_cfg = dict(transfer_cfg) if transfer_cfg else None
         sampling_cfg = dict(sampling_cfg or {"type": "OneStepTransition"})
         sampling_cfg.setdefault("seed", seed)
         self.sampling = build_sampling(sampling_cfg)
@@ -94,7 +117,7 @@ class ReplayMemory:
         items = {k: v for k, v in items.items() if k not in _SKIP_KEYS}
         if self.keys is not None:
             items = {k: v for k, v in items.items() if k in self.keys}
-        return items
+        return apply_transfer(items, self.transfer_cfg)
 
     def push_batch(self, items: Dict[str, Any]) -> None:
         """Append a [B, ...] transition batch with ring wraparound

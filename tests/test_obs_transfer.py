@@ -104,7 +104,8 @@ def _transitions(n=64, seed=0):
 
 def test_make_obs_transfer_spec():
     spec = make_obs_transfer(dict(pos_encoding_on_device=True), _env_params()["obs_shape"])
-    assert spec == ObsTransferSpec(F, 6, PPF, drop_pos_encoding=True, pack_dtype=None)
+    assert spec == ObsTransferSpec(F, 6, PPF, drop_pos_encoding=True, pack_dtype=None,
+                                   packed_channels=6)
     # no pos_encoding in obs -> nothing to drop
     assert make_obs_transfer(dict(pos_encoding_on_device=True), {"xyz": (3, N)}) is None
     assert make_obs_transfer(None, _env_params()["obs_shape"]) is None
@@ -202,14 +203,45 @@ def test_device_replay_dtype_map():
 
 def test_eval_path_with_transfer():
     """The eval/evaluation path rides the same forward_async -> packed act
-    program; make sure a full eval-mode forward works with state-carrying
-    obs dicts too."""
-    params = _env_params()
-    params["obs_shape"] = dict(params["obs_shape"])
+    program."""
     agent = build_agent(_agent_cfg(obs_transfer_cfg=dict(pos_encoding_on_device=True)))
     obs = _obs(2)
     a = agent.forward(obs, mode="eval")
     assert a.shape == (2, A) and np.isfinite(a).all()
+
+
+def test_complete_packed_full_array_noop_and_host_replay_transfer():
+    """A pre-packed FULL obs array must pass through complete_packed
+    unchanged (no double insert), and the host ReplayMemory honors the same
+    transfer_cfg the device replay does (incl. top-level keys)."""
+    from pointcloud_rl_tpu.env.replay import ReplayMemory
+
+    spec = make_obs_transfer(dict(pos_encoding_on_device=True), _env_params()["obs_shape"])
+    obs = _obs(4)
+    full, _ = pack_pointcloud_obs(obs)
+    out = np.asarray(complete_packed(np.asarray(full), spec))
+    np.testing.assert_array_equal(out, full)
+
+    mem = ReplayMemory(capacity=64, transfer_cfg=dict(
+        drop_subkeys=("pos_encoding",), dtype_map={"xyz": "float16", "rewards": "float16"}))
+    mem.push_batch(_transitions(8))
+    batch = mem.sample(4)
+    assert "pos_encoding" not in batch["obs"]
+    assert batch["obs"]["xyz"].dtype == np.float16
+    assert batch["rewards"].dtype == np.float16  # top-level dtype_map applies
+
+
+def test_host_replay_rejects_then_accepts_transfer_kwarg_config_chain():
+    """Regression: the DMC base config sets replay transfer_cfg; configs that
+    override the replay type back to the host ReplayMemory (pn_rnn) inherit
+    the key and must still construct."""
+    from pointcloud_rl_tpu.config import Config
+    from pointcloud_rl_tpu.env import build_replay
+
+    cfg = Config.fromfile("configs/mfrl/sac/dm_control/pn_rnn.py")
+    replay = build_replay(cfg["replay_cfg"])
+    assert type(replay).__name__ == "ReplayMemory"
+    assert replay.transfer_cfg == dict(drop_subkeys=("pos_encoding",))
 
 
 def test_act_exact_with_dict_mode():

@@ -31,7 +31,7 @@ def main():
     p.add_argument("config")
     p.add_argument("run_dir")
     p.add_argument("--steps", type=int, nargs="+", default=[100000, 250000, 500000])
-    p.add_argument("--num", type=int, default=10)
+    p.add_argument("--num", type=int, default=None, help="episodes per checkpoint (default: eval_cfg.num or 10)")
     p.add_argument("--seed", type=int, default=0)
     from pointcloud_rl_tpu.config import Config, DictAction
 
@@ -58,7 +58,8 @@ def main():
     merged_env.update(dict(eval_cfg.pop("env_cfg", {})))
     eval_cfg["env_cfg"] = merged_env
     eval_cfg.setdefault("seed", args.seed + 2**16)
-    eval_cfg.setdefault("num", args.num)
+    num = args.num if args.num is not None else int(eval_cfg.get("num", 10))
+    eval_cfg["num"] = num
     eval_cfg["save_video"] = False
     evaluator = build_evaluation(eval_cfg)
 
@@ -78,7 +79,7 @@ def main():
                 continue
             agent.load_state_dict(load_checkpoint(ckpt, agent.state_dict()))
             scratch = osp.join(out_dir, f"_scratch_{step}")
-            lens, rewards, finishes = evaluator.run(agent, num=args.num, work_dir=scratch)
+            lens, rewards, finishes = evaluator.run(agent, num=num, work_dir=scratch)
             k = f"{step // 1000}k"
             dst = osp.join(out_dir, f"statistics_{k}.csv")
             src = osp.join(scratch, "statistics.csv")
@@ -90,6 +91,7 @@ def main():
                     w.writerow(["length", "reward", "finish"])
                     for row in zip(lens, rewards, finishes):
                         w.writerow(row)
+            shutil.rmtree(scratch, ignore_errors=True)
             mean = statistics.mean(rewards)
             std = statistics.stdev(rewards) if len(rewards) > 1 else 0.0
             print(f"== @{k}: eval {mean:.1f} +/- {std:.1f} over {len(rewards)} episodes", flush=True)
