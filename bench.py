@@ -81,11 +81,13 @@ PEAK_FLOPS = 197e12
 # PCRL_BENCH_TRANSFER: obs-transfer payload reduction (algorithms/
 # obs_transfer.py) — "1"/"pos" drops the constant pos_encoding block from
 # act uploads + replay storage (exact), "f16" additionally packs the act
-# upload in float16.  PCRL_BENCH_EAGER=1 flushes replay pushes at
-# act-dispatch time (rollout eager_push).  Sweep knobs; defaults follow
-# whatever the measured winner is (see module docstring).
-TRANSFER = _os.environ.get("PCRL_BENCH_TRANSFER", "pos")
-EAGER_PUSH = _os.environ.get("PCRL_BENCH_EAGER", "0") == "1"
+# upload in float16, "dict" ships native per-key leaves.  PCRL_BENCH_EAGER
+# flushes replay pushes at act-dispatch time (rollout eager_push).
+# Defaults follow the measured round-3 sweep winner (tools/exp_fetch.py on
+# v5e: blocked fetch full 36.8 / nopos 35.7 / f16 30.4 / dict 32.6 ms vs a
+# 26.4 ms device floor; combined f16+eager 135.4 vs 124.3 steps/s).
+TRANSFER = _os.environ.get("PCRL_BENCH_TRANSFER", "f16")
+EAGER_PUSH = _os.environ.get("PCRL_BENCH_EAGER", "1") == "1"
 
 
 def build_agent():
@@ -110,6 +112,8 @@ def build_agent():
         cfg["obs_transfer_cfg"] = dict(pos_encoding_on_device=True)
     elif TRANSFER == "f16":
         cfg["obs_transfer_cfg"] = dict(pos_encoding_on_device=True, pack_dtype="float16")
+    elif TRANSFER == "dict":
+        cfg["obs_transfer_cfg"] = dict(pos_encoding_on_device=True, pack_mode="dict")
     return _build(cfg)
 
 
@@ -123,7 +127,7 @@ def device_memory(capacity=4096, fill=2048):
     mem = DeviceReplayMemory(
         capacity=capacity, seed=0,
         keys=["obs", "next_obs", "actions", "rewards", "dones", "episode_dones"],
-        transfer_cfg=(dict(drop_subkeys=("pos_encoding",)) if TRANSFER in ("1", "pos", "f16") else None),
+        transfer_cfg=(dict(drop_subkeys=("pos_encoding",)) if TRANSFER in ("1", "pos", "f16", "dict") else None),
     )
     mem.push_batch(_example_batch(fill, N_POINTS, ACTION_DIM, seed=0))
     return mem
