@@ -276,6 +276,43 @@ def measure_combined_fused(agent, rollout, mem, cycles=8, steps_per_env=2, chunk
     return cycles * n / dt, breakdown
 
 
+def audit_relay(agent, rollout, mem, reps=12):
+    """Measure the relay primitives the combined cycle is built from, so the
+    recorded bench tail carries the dispatch/fetch-ms-x-counts accounting
+    (VERDICT r2 #1) from the SAME session as the headline number.  Programs
+    are already compiled by the combined sweep; costs are medians in ms."""
+    obs = rollout.recent_obs
+    vec = rollout.vec_env
+    np.asarray(agent.forward_async(obs, mode="explore"))  # warm queue empty
+    t_disp, t_fetch = [], []
+    for _ in range(reps):
+        t0 = time.monotonic()
+        fut = agent.forward_async(obs, mode="explore")
+        t_disp.append(time.monotonic() - t0)
+        t0 = time.monotonic()
+        np.asarray(fut)
+        t_fetch.append(time.monotonic() - t0)
+    t_scan = []
+    for _ in range(max(3, reps // 4)):
+        t0 = time.monotonic()
+        np.asarray(agent.update_parameters_scan(mem, GRAD_SCAN))
+        t_scan.append(time.monotonic() - t0)
+    actions = np.stack([vec.single_action_space.sample()
+                        for _ in range(vec.num_envs)]).astype(np.float32)
+    t0 = time.monotonic()
+    n = 0
+    for _ in range(6):
+        vec.step_dict(actions)
+        n += vec.num_envs
+    med = lambda xs: float(np.median(xs) * 1e3)
+    return {
+        "act_dispatch_ms": round(med(t_disp), 1),
+        "act_fetch_ms": round(med(t_fetch), 1),
+        "scan_ms_per_update": round(med(t_scan) / GRAD_SCAN, 2),
+        "sim_ms_per_env_step": round((time.monotonic() - t0) / n * 1e3, 2),
+    }
+
+
 def _device_reachable(timeout_s: int = 240) -> bool:
     """Probe device discovery in a subprocess with a hard timeout.
 
@@ -301,15 +338,25 @@ def main() -> None:
               "no benchmark numbers can be measured (NOT printing a stale value)",
               file=sys.stderr)
         sys.exit(2)
+    def _stage(msg):
+        print(f"# [{time.strftime('%H:%M:%S')}] {msg}", file=sys.stderr, flush=True)
+
+    _stage("device reachable; building agent")
     agent = build_agent()
+    _stage("agent built; pushing replay to HBM")
     mem = device_memory()
+    _stage("replay resident; compiling + measuring grad-only")
     grad_rate = measure_grad_rate(agent, mem)
+    _stage(f"grad-only {grad_rate:.1f} updates/s")
     flops_per_update = update_flops(agent, mem)
     grad_mfu = flops_per_update * grad_rate / PEAK_FLOPS
 
+    flops_note = f"{flops_per_update/1e9:.1f} GFLOP/update"
+    _stage(f"cost analysis done ({flops_note}); building rollout workers")
     rollout, env_name = make_rollout()
     try:
         env_rate = measure_env_rate(rollout)
+        _stage(f"env-only {env_rate:.1f} steps/s; compiling combined shapes")
         # The tunneled TPU runtime has pronounced cold-start/staging effects
         # and high run-to-run RT variance (identical configs measured 60-101
         # steps/s across windows); best-of-three of the hooked-scan shape.
@@ -322,9 +369,12 @@ def main() -> None:
         # worker pools admit bigger scan programs (fewer dispatches per cycle).
         cycle = NUM_PROCS * 2
         chunks = tuple(c for c in (16, 32, 64) if c <= cycle) or (cycle,)
-        candidates = [measure_combined_rate(agent, rollout, mem, chunk=c)
-                      for c in chunks]
+        candidates = []
+        for c in chunks:
+            candidates.append(measure_combined_rate(agent, rollout, mem, chunk=c))
+            _stage(f"combined chunk={c}: {candidates[-1][0]:.1f} steps/s")
         combined, breakdown = max(candidates, key=lambda x: x[0])
+        audit = audit_relay(agent, rollout, mem)
     finally:
         rollout.close()
 
@@ -334,7 +384,10 @@ def main() -> None:
         f"scan {GRAD_SCAN}/dispatch, {flops_per_update/1e9:.2f} GFLOP/update, MFU {grad_mfu*100:.2f}%) | "
         f"env-only ({env_name}, {NUM_PROCS} workers on 1 host core): {env_rate:.1f} step/s | "
         f"combined 1 env + 1 grad: {combined:.1f} step/s (update MFU {mfu*100:.2f}%), "
-        f"rollout time split {breakdown}",
+        f"rollout time split {breakdown} | relay audit (ms, medians): {audit} — "
+        f"per {NUM_PROCS * 2}-step cycle: 2 act fetches + {NUM_PROCS * 2} host sim steps "
+        f"+ update-scan device time; the gap to grad-only is the blocked-fetch round trip "
+        f"(see module docstring / tools/exp_overlap.py)",
         file=sys.stderr,
     )
     print(json.dumps({
