@@ -25,7 +25,7 @@ from typing import Optional
 import numpy as np
 
 from ..config import Config, DictAction
-from ..utils import add_env_vars, get_logger, set_host_seed
+from ..utils import add_env_vars, enable_compilation_cache, get_logger, set_host_seed
 from ..utils.checkpoint import find_checkpoint, load_checkpoint
 from .train_rl import train_rl
 
@@ -90,6 +90,7 @@ def main(args=None) -> None:
 
         jax.config.update("jax_platforms", _plat)
 
+    enable_compilation_cache()
     seed = set_host_seed(args.seed)
     work_dir = build_work_dir(cfg, args.config, args.work_dir, args.seed)
     logger = get_logger("pcrl", work_dir=work_dir)

@@ -23,6 +23,33 @@ def add_env_vars(single_thread_blas: bool = True) -> None:
     os.environ.setdefault("MUJOCO_GL", "egl")
 
 
+def enable_compilation_cache(path: Optional[str] = None) -> str:
+    """Turn on JAX's persistent compilation cache (idempotent).
+
+    On the tunneled TPU runtime a cold compile of the fused SAC update scan
+    was measured at ~5 minutes; with the on-disk cache a later process
+    reloads the same executable in seconds (probe: 1.17 s -> 0.15 s across
+    processes).  Default location is ``<repo>/build/jax_cache`` (override
+    with ``PCRL_JAX_CACHE``; set it to ``0`` to disable).  Must run before
+    the first jit compile to help that compile.
+    """
+    import jax
+
+    path = path or os.environ.get("PCRL_JAX_CACHE")
+    if path == "0":
+        return ""
+    if not path:
+        repo = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+        path = os.path.join(repo, "build", "jax_cache")
+    try:
+        os.makedirs(path, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", path)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+    except Exception:  # non-writable dir / very old jax: run uncached
+        return ""
+    return path
+
+
 def set_host_seed(seed: Optional[int]) -> Optional[int]:
     """Seed python/numpy host RNGs; returns the seed used."""
     if seed is None:

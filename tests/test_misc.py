@@ -1,5 +1,7 @@
 """Schedulers, GAE, env info, fake manipulation env, obs preprocessing."""
 
+import os
+
 import numpy as np
 import pytest
 
@@ -137,3 +139,23 @@ def test_graft_entry_dryrun():
     import __graft_entry__ as g
 
     g.dryrun_multichip(8)  # conftest already pinned the 8-device CPU mesh
+
+
+def test_enable_compilation_cache(tmp_path, monkeypatch):
+    """Persistent-compile-cache setup: dir created + config set; PCRL_JAX_CACHE=0
+    disables; restores the prior config afterwards (shared test process)."""
+    import jax
+
+    from pointcloud_rl_tpu.utils import enable_compilation_cache
+
+    prior = jax.config.jax_compilation_cache_dir
+    try:
+        target = str(tmp_path / "jc")
+        assert enable_compilation_cache(target) == target
+        assert os.path.isdir(target)
+        assert jax.config.jax_compilation_cache_dir == target
+        monkeypatch.setenv("PCRL_JAX_CACHE", "0")
+        assert enable_compilation_cache() == ""
+        assert jax.config.jax_compilation_cache_dir == target  # untouched when disabled
+    finally:
+        jax.config.update("jax_compilation_cache_dir", prior)

@@ -42,7 +42,9 @@ def main():
     from pointcloud_rl_tpu.apis.run_rl import _resolve_agent_placeholders
     from pointcloud_rl_tpu.env import build_evaluation, get_env_info
     from pointcloud_rl_tpu.utils.checkpoint import load_checkpoint
-    from pointcloud_rl_tpu.utils.seeding import set_host_seed
+    from pointcloud_rl_tpu.utils.seeding import enable_compilation_cache, set_host_seed
+
+    enable_compilation_cache()
 
     cfg = Config.fromfile(args.config)
     if args.cfg_options:
