@@ -376,16 +376,20 @@ def main() -> None:
         for c in chunks:
             candidates.append(measure_combined_rate(agent, rollout, mem, chunk=c))
             _stage(f"combined chunk={c}: {candidates[-1][0]:.1f} steps/s")
-        combined, breakdown = max(candidates, key=lambda x: x[0])
-        # one more window of the winning shape: relay run-to-run variance is
-        # ±15%, so a single window under-reads the sustained rate as often
-        # as not (identical configs measured 122-148 steps/s back to back)
-        best_chunk = chunks[candidates.index((combined, breakdown))]
+        best_i = max(range(len(candidates)), key=lambda i: candidates[i][0])
+        best_chunk = chunks[best_i]
+        # Sustained rate of the winning shape: relay run-to-run variance is
+        # ±15%, so the headline is the MEDIAN over the winning window plus two
+        # reruns (max-of-N is biased upward; BENCH_r03's best window sat ~9%
+        # above its own reruns).  All windows go into the JSON for the record.
+        windows = [candidates[best_i]]
         for _ in range(2):
             rerun = measure_combined_rate(agent, rollout, mem, chunk=best_chunk)
             _stage(f"combined chunk={best_chunk} (rerun): {rerun[0]:.1f} steps/s")
-            if rerun[0] > combined:
-                combined, breakdown = rerun
+            windows.append(rerun)
+        windows.sort(key=lambda x: x[0])
+        combined, breakdown = windows[len(windows) // 2]
+        window_rates = [round(w[0], 2) for w in windows]
         audit = audit_relay(agent, rollout, mem)
     finally:
         rollout.close()
@@ -395,7 +399,8 @@ def main() -> None:
         f"# grad-only: {grad_rate:.1f} step/s (batch {BATCH}, {N_POINTS} pts, HBM replay, "
         f"scan {GRAD_SCAN}/dispatch, {flops_per_update/1e9:.2f} GFLOP/update, MFU {grad_mfu*100:.2f}%) | "
         f"env-only ({env_name}, {NUM_PROCS} workers on 1 host core): {env_rate:.1f} step/s | "
-        f"combined 1 env + 1 grad: {combined:.1f} step/s (update MFU {mfu*100:.2f}%), "
+        f"combined 1 env + 1 grad: {combined:.1f} step/s (median of windows {window_rates}, "
+        f"update MFU {mfu*100:.2f}%), "
         f"rollout time split {breakdown} | relay audit (ms, medians): {audit} — "
         f"per {NUM_PROCS * 2}-step cycle: 2 act fetches + {NUM_PROCS * 2} host sim steps "
         f"+ update-scan device time; the gap to grad-only is the blocked-fetch round trip "
@@ -407,6 +412,7 @@ def main() -> None:
         "value": round(combined, 2),
         "unit": "steps/s",
         "vs_baseline": round(combined / REFERENCE_COMBINED_STEPS_PER_SEC, 2),
+        "windows": window_rates,
     }))
 
 

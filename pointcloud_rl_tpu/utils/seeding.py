@@ -44,9 +44,14 @@ def enable_compilation_cache(path: Optional[str] = None) -> str:
     try:
         os.makedirs(path, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", path)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
     except Exception:  # non-writable dir / very old jax: run uncached
         return ""
+    try:
+        # Separate guard: if this knob is missing (older jax), the cache dir
+        # above is already active — still report the cache as on.
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+    except Exception:
+        pass
     return path
 
 

@@ -149,6 +149,7 @@ def test_enable_compilation_cache(tmp_path, monkeypatch):
     from pointcloud_rl_tpu.utils import enable_compilation_cache
 
     prior = jax.config.jax_compilation_cache_dir
+    prior_min_secs = jax.config.jax_persistent_cache_min_compile_time_secs
     try:
         target = str(tmp_path / "jc")
         assert enable_compilation_cache(target) == target
@@ -159,3 +160,4 @@ def test_enable_compilation_cache(tmp_path, monkeypatch):
         assert jax.config.jax_compilation_cache_dir == target  # untouched when disabled
     finally:
         jax.config.update("jax_compilation_cache_dir", prior)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", prior_min_secs)
