@@ -86,6 +86,11 @@ PEAK_FLOPS = 197e12
 # Defaults follow the measured round-3 sweep winner (tools/exp_fetch.py on
 # v5e: blocked fetch full 36.8 / nopos 35.7 / f16 30.4 / dict 32.6 ms vs a
 # 26.4 ms device floor; combined f16+eager 135.4 vs 124.3 steps/s).
+# "pack" (round 4): f16 act uploads PLUS replay pack_features storage — the
+# replay stores the glued channel-last bf16 model-input tensor so the
+# update's obs prep collapses to the sampling gather (profile-driven:
+# tools/exp_update_profile.py measured ~40% of update device time in
+# per-sample obs prep).
 TRANSFER = _os.environ.get("PCRL_BENCH_TRANSFER", "f16")
 EAGER_PUSH = _os.environ.get("PCRL_BENCH_EAGER", "1") == "1"
 
@@ -110,7 +115,7 @@ def build_agent():
     cfg["stale_actor_feature"] = True
     if TRANSFER in ("1", "pos"):
         cfg["obs_transfer_cfg"] = dict(pos_encoding_on_device=True)
-    elif TRANSFER == "f16":
+    elif TRANSFER in ("f16", "pack"):
         cfg["obs_transfer_cfg"] = dict(pos_encoding_on_device=True, pack_dtype="float16")
     elif TRANSFER == "dict":
         cfg["obs_transfer_cfg"] = dict(pos_encoding_on_device=True, pack_mode="dict")
@@ -127,7 +132,11 @@ def device_memory(capacity=4096, fill=2048):
     mem = DeviceReplayMemory(
         capacity=capacity, seed=0,
         keys=["obs", "next_obs", "actions", "rewards", "dones", "episode_dones"],
-        transfer_cfg=(dict(drop_subkeys=("pos_encoding",)) if TRANSFER in ("1", "pos", "f16", "dict") else None),
+        transfer_cfg=(
+            dict(pack_features=True) if TRANSFER == "pack"
+            else dict(drop_subkeys=("pos_encoding",)) if TRANSFER in ("1", "pos", "f16", "dict")
+            else None
+        ),
     )
     mem.push_batch(_example_batch(fill, N_POINTS, ACTION_DIM, seed=0))
     return mem

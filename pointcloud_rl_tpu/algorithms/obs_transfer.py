@@ -108,6 +108,40 @@ def complete_packed(x: jnp.ndarray, spec: ObsTransferSpec) -> jnp.ndarray:
     return jnp.concatenate([x[..., : spec.insert_at, :], pe, x[..., spec.insert_at :, :]], axis=-2)
 
 
+def pack_device_features(obs: Dict[str, Any], dtype=jnp.bfloat16) -> Dict[str, Any]:
+    """Glue a raw pointcloud obs dict into the MODEL-INPUT feature tensor,
+    once, on device: ``{"pcd": [..., N, C] <dtype>, "state"?: f32}``.
+
+    The per-update profile (tools/exp_update_profile.py, round 4) showed
+    ~40% of the SAC update's device time was re-running convert / div-255 /
+    broadcast / concat / transpose on [B, N, C]-scale tensors for BOTH obs
+    and next_obs of every sampled batch.  Packing at replay-push time moves
+    that work to once per TRANSITION instead of once per SAMPLE, and stores
+    the tensor channel-LAST in the matmul compute dtype, so the update's obs
+    prep collapses to a gather.
+
+    Channel order matches ``preprocess_pointcloud`` (reference
+    pyrl/networks/backbones/pointnet.py:49-73) exactly: xyz, rgb/255,
+    pos_encoding, seg.  Numerics: identical to the default path for f32
+    storage — both cast the same f32 values to bf16 exactly once (here at
+    push; there at the kernel's matmul input).
+    """
+    feats = [jnp.asarray(obs["xyz"], jnp.float32)]
+    if "rgb" in obs:
+        rgb = jnp.asarray(obs["rgb"])
+        rgb = rgb.astype(jnp.float32) / 255.0 if rgb.dtype == jnp.uint8 else rgb.astype(jnp.float32)
+        feats.append(rgb)
+    for key in ("pos_encoding", "seg"):
+        if key in obs:
+            feats.append(jnp.asarray(obs[key], jnp.float32))
+    pcd = jnp.swapaxes(jnp.concatenate(feats, axis=-2), -1, -2).astype(dtype)
+    out = {"pcd": pcd}
+    for key in ("state", "agent"):
+        if key in obs:
+            out[key] = jnp.asarray(obs[key], jnp.float32)
+    return out
+
+
 def complete_obs_dict(obs: Dict[str, Any], spec: ObsTransferSpec) -> Dict[str, Any]:
     """Re-attach ``pos_encoding`` to an obs dict whose copy was stripped for
     transfer/storage.  Key-presence check is trace-time (static)."""

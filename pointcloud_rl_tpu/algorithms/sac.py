@@ -273,7 +273,7 @@ class SAC(BaseAgent):
             # key argument means no extra host->device transfer per
             # dispatch — each one is a round trip on tunneled runtimes.
             idx = jax.random.randint(jax.random.fold_in(state.rng, 0xFFFF), (batch_size,), 0, size)
-            batch = jax.tree_util.tree_map(lambda s: jnp.take(s, idx, axis=0), storage)
+            batch = jax.tree_util.tree_map(lambda s: s.at[idx].get(mode="promise_in_bounds"), storage)
             if batch_sharding is not None:
                 # Data-parallel mesh: pin the gathered batch onto the data
                 # axis so each device materializes only its rows and the
@@ -301,7 +301,7 @@ class SAC(BaseAgent):
                 # per-iteration sampling key from the carried rng (which
                 # _update_step refreshes every iteration)
                 idx = jax.random.randint(jax.random.fold_in(carry.rng, 0xFFFF), (batch_size,), 0, size)
-                batch = jax.tree_util.tree_map(lambda s: jnp.take(s, idx, axis=0), storage)
+                batch = jax.tree_util.tree_map(lambda s: s.at[idx].get(mode="promise_in_bounds"), storage)
                 if batch_sharding is not None:
                     batch = jax.lax.with_sharding_constraint(
                         batch, jax.tree_util.tree_map(lambda _: batch_sharding, batch)
@@ -358,7 +358,7 @@ class SAC(BaseAgent):
         def step_n_act(state, storage, size, obs, n):
             def body(carry, _):
                 idx = jax.random.randint(jax.random.fold_in(carry.rng, 0xFFFF), (batch_size,), 0, size)
-                batch = jax.tree_util.tree_map(lambda s: jnp.take(s, idx, axis=0), storage)
+                batch = jax.tree_util.tree_map(lambda s: s.at[idx].get(mode="promise_in_bounds"), storage)
                 if batch_sharding is not None:
                     batch = jax.lax.with_sharding_constraint(
                         batch, jax.tree_util.tree_map(lambda _: batch_sharding, batch)

@@ -38,7 +38,7 @@ def _ring_write(storage, batch, position):
 @partial(jax.jit, static_argnames=("batch_size",))
 def _gather(storage, key, size, batch_size):
     idx = jax.random.randint(key, (batch_size,), 0, size)
-    return jax.tree_util.tree_map(lambda s: jnp.take(s, idx, axis=0), storage)
+    return jax.tree_util.tree_map(lambda s: s.at[idx].get(mode="promise_in_bounds"), storage)
 
 
 @REPLAYS.register_module()
@@ -55,8 +55,34 @@ class DeviceReplayMemory:
         # Obs payload reductions applied before upload/storage (see
         # algorithms/obs_transfer.py): drop_subkeys removes constant blocks
         # the update re-synthesizes on device (e.g. pos_encoding);
-        # dtype_map narrows wire+HBM dtypes per sub-key (e.g. xyz float16).
+        # dtype_map narrows wire+HBM dtypes per sub-key (e.g. xyz float16);
+        # pack_features glues pointcloud obs dicts into the model-input
+        # tensor AT PUSH TIME ({"pcd": [N, C] bf16 channel-last, "state"?})
+        # so the update's obs prep is just the sampling gather — see
+        # obs_transfer.pack_device_features for the profile-driven why.
+        # Incompatible with in-update augmentations that need raw xyz/rgb
+        # channel layout (DrQ shift runs on xyz; the packed tensor fast
+        # path is for the non-augmented SAC pipeline).
         self.transfer_cfg = dict(transfer_cfg) if transfer_cfg else None
+        self._pack_features = None
+        if self.transfer_cfg and self.transfer_cfg.get("pack_features"):
+            pf = self.transfer_cfg.pop("pack_features")
+            dtype = jnp.bfloat16 if pf is True else np.dtype(pf)
+            if not self.transfer_cfg:
+                self.transfer_cfg = None
+
+            from ..algorithms.obs_transfer import pack_device_features
+
+            @jax.jit
+            def _packer(items):
+                items = dict(items)
+                for key in ("obs", "next_obs"):
+                    o = items.get(key)
+                    if isinstance(o, dict) and "xyz" in o:
+                        items[key] = pack_device_features(o, dtype)
+                return items
+
+            self._pack_features = _packer
         self.sharding = None  # set via place_on() under a data-parallel mesh
         self._key = jax.random.PRNGKey(seed if seed is not None else 0)
         # trajectory caching (full-episode mode) stays host-side
@@ -121,6 +147,8 @@ class DeviceReplayMemory:
 
     def push_batch(self, items: Dict[str, Any]) -> None:
         items = self._clean(items)
+        if self._pack_features is not None:
+            items = self._pack_features(items)
         batch = len(first_leaf(items))
         if batch > self.capacity:
             items = tree_map(lambda x: x[: self.capacity], items)

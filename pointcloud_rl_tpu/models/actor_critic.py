@@ -60,7 +60,7 @@ def split_obs(obs) -> Tuple[Any, Optional[jnp.ndarray]]:
         if key in obs:
             assert robot_state is None, "Only one robot state key allowed"
             robot_state = obs.pop(key)
-    if not ("xyz" in obs or "rgb" in obs or "rgbd" in obs) and len(obs) == 1:
+    if not ("xyz" in obs or "rgb" in obs or "rgbd" in obs or "pcd" in obs) and len(obs) == 1:
         obs = next(iter(obs.values()))
     return obs, robot_state
 

@@ -47,6 +47,11 @@ def preprocess_pointcloud(obs) -> jnp.ndarray:
     if not isinstance(obs, dict):
         x = jnp.asarray(obs, jnp.float32)
         return jnp.swapaxes(x, -1, -2)
+    if "pcd" in obs:
+        # Pre-glued model-input tensor (replay pack_features mode,
+        # algorithms/obs_transfer.pack_device_features): already channel-last
+        # and already in the matmul compute dtype — pass through untouched.
+        return jnp.asarray(obs["pcd"])
     feats = [jnp.asarray(obs["xyz"], jnp.float32)]
     if "rgb" in obs:
         rgb = jnp.asarray(obs["rgb"])
@@ -166,7 +171,11 @@ class PointNet(nn.Module):
                       p["LayerNorm_0"]["scale"], p["LayerNorm_0"]["bias"],
                       p["Dense_2"]["kernel"], p["Dense_2"]["bias"],
                       p["LayerNorm_1"]["scale"], p["LayerNorm_1"]["bias"])
-            pooled = fused_pointnet_body(feature.astype(jnp.float32), params, 512, 8,
+            # No dtype cast here: f32 input stays f32 (the kernel casts to
+            # the compute dtype at its matmul input), and a pre-packed bf16
+            # tensor enters as-is — upcasting it to f32 first would just add
+            # two full HBM passes over [B, N, C].
+            pooled = fused_pointnet_body(feature, params, 512, 8,
                                          resolve_dtype(self.dtype))
             if self.out_channels is not None:
                 pooled = self.final_ln(self.final_dense(pooled))

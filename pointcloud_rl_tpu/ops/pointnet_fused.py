@@ -235,8 +235,13 @@ def _winner_backward(x, params, idx, g):
     B, N, C_in = x.shape
     K = idx.shape[-1]
 
-    xw = jnp.take_along_axis(x, idx[:, :, None].astype(jnp.int32), axis=1)  # [B, K, C_in]
-    rows = xw.reshape(B * K, C_in)
+    # Flat single-axis gather instead of take_along_axis: the batched-gather
+    # lowering was measured HBM-bound at ~0.5 ms/update on v5e (profile,
+    # tools/exp_update_profile.py) vs microseconds for a flat row take.
+    # promise_in_bounds is safe: winners come from the forward's iota-min
+    # over real points (padding can never win — see module docstring).
+    flat_idx = (jnp.arange(B, dtype=jnp.int32)[:, None] * N + idx.astype(jnp.int32)).reshape(-1)
+    rows = x.reshape(B * N, C_in).at[flat_idx].get(mode="promise_in_bounds")  # [B*K, C_in]
 
     # recompute the chain on winner rows, keeping residuals (f32)
     a1 = jnp.dot(rows, w1, preferred_element_type=jnp.float32) + b1
@@ -269,7 +274,7 @@ def _winner_backward(x, params, idx, g):
 
     dx = jnp.zeros_like(x).at[
         jnp.arange(B)[:, None], idx.astype(jnp.int32)
-    ].add(dxw, mode="drop")
+    ].add(dxw.astype(x.dtype), mode="drop")
 
     dparams = (
         jnp.dot(rows.T, da1, preferred_element_type=jnp.float32),

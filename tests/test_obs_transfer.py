@@ -262,3 +262,61 @@ def test_act_close_with_dict_mode_f16_xyz():
         pos_encoding_on_device=True, pack_mode="dict", pack_dtype="float16")))
     obs = _obs(5)
     np.testing.assert_allclose(opt.forward(obs, mode="eval"), base.forward(obs, mode="eval"), atol=5e-3)
+
+
+def test_pack_device_features_matches_preprocess():
+    """pack_features storage (obs_transfer.pack_device_features) must glue
+    the SAME model-input tensor preprocess_pointcloud assembles from the raw
+    dict — same channel order (xyz, rgb/255, pos_encoding, seg), channel-last,
+    just pre-computed once at push time."""
+    import jax.numpy as jnp
+
+    from pointcloud_rl_tpu.algorithms.obs_transfer import pack_device_features
+    from pointcloud_rl_tpu.models.pointnet import preprocess_pointcloud
+
+    obs = _obs(4)
+    obs["seg"] = (np.random.RandomState(3).rand(4, 2, N) > 0.5).astype(np.uint8)
+    obs["state"] = np.random.RandomState(4).randn(4, 7).astype(np.float32)
+
+    ref = np.asarray(preprocess_pointcloud({k: v for k, v in obs.items() if k != "state"}))
+    packed = pack_device_features(obs, dtype=jnp.float32)
+    np.testing.assert_allclose(np.asarray(packed["pcd"]), ref, rtol=0, atol=0)
+    np.testing.assert_allclose(np.asarray(packed["state"]), obs["state"], rtol=0, atol=0)
+
+    # bf16 storage == one cast of the identical f32 tensor
+    packed16 = pack_device_features(obs, dtype=jnp.bfloat16)
+    np.testing.assert_allclose(
+        np.asarray(packed16["pcd"], np.float32),
+        np.asarray(jnp.asarray(ref).astype(jnp.bfloat16), np.float32), rtol=0, atol=0)
+
+    # and preprocess_pointcloud passes a packed dict through untouched
+    out = preprocess_pointcloud({"pcd": packed16["pcd"]})
+    assert out.dtype == jnp.bfloat16 and out.shape == ref.shape
+
+
+def test_device_replay_pack_features_update_close():
+    """End-to-end: replay stores the pre-glued bf16 model-input tensor
+    (pack_features=True); the scanned update consumes {"pcd": ...} obs
+    directly.  Metrics track the raw-dict baseline to bf16 tolerance (the
+    baseline computes the same features in f32 and casts at the matmul)."""
+    trans = _transitions()
+
+    def run(pack):
+        agent = build_agent(_agent_cfg())
+        mem = DeviceReplayMemory(
+            capacity=128, seed=0,
+            keys=["obs", "next_obs", "actions", "rewards", "dones", "episode_dones"],
+            transfer_cfg=dict(pack_features=True) if pack else None,
+        )
+        mem.push_batch(trans)
+        if pack:
+            obs = mem.storage["obs"]
+            assert set(obs) == {"pcd"} and str(obs["pcd"].dtype) == "bfloat16"
+            assert obs["pcd"].shape == (128, N, 3 + 3 + F)  # channel-last
+        vec = np.asarray(agent.update_parameters_scan(mem, 3))
+        assert np.isfinite(vec).all()
+        return vec
+
+    v_base = run(False)
+    v_pack = run(True)
+    np.testing.assert_allclose(v_pack, v_base, rtol=0.15, atol=0.05)
