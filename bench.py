@@ -86,13 +86,25 @@ PEAK_FLOPS = 197e12
 # Defaults follow the measured round-3 sweep winner (tools/exp_fetch.py on
 # v5e: blocked fetch full 36.8 / nopos 35.7 / f16 30.4 / dict 32.6 ms vs a
 # 26.4 ms device floor; combined f16+eager 135.4 vs 124.3 steps/s).
-# "pack" (round 4): f16 act uploads PLUS replay pack_features storage — the
-# replay stores the glued channel-last bf16 model-input tensor so the
-# update's obs prep collapses to the sampling gather (profile-driven:
+# "pack" (round 4, the default): f16 act uploads PLUS replay pack_features
+# storage — the replay stores the glued channel-last bf16 model-input tensor
+# so the update's obs prep collapses to the sampling gather (profile-driven:
 # tools/exp_update_profile.py measured ~40% of update device time in
-# per-sample obs prep).
-TRANSFER = _os.environ.get("PCRL_BENCH_TRANSFER", "f16")
+# per-sample obs prep).  Measured on v5e: grad-only 199 (f16) -> 305-341
+# (pack) updates/s; combined 139 -> 146 steps/s.
+TRANSFER = _os.environ.get("PCRL_BENCH_TRANSFER", "pack")
 EAGER_PUSH = _os.environ.get("PCRL_BENCH_EAGER", "1") == "1"
+# PCRL_BENCH_SERVER_OBS=1: workers emit raw render products and ONE jitted
+# program per batch unprojects+downsamples them (env/server_env.py, the
+# reference ServerBasedVectorEnv analogue) instead of per-worker host
+# pointcloud assembly.  Measured round 4 and OFF by default: on the
+# TUNNELED single chip the raw rgb+depth batches ride the relay and every
+# fused batch pays a blocking device->host fetch — env-only 337.9 -> 70.7
+# steps/s, combined 146 -> 53.6 (sim 3.5 -> 18.0 ms/step).  The path is
+# built for co-located accelerators where renders are device-resident
+# (reference vec_env.py:562-742 assumes a GPU RenderServer); keep it for
+# that topology, don't default to it behind a relay.
+SERVER_OBS = _os.environ.get("PCRL_BENCH_SERVER_OBS", "0") == "1"
 
 
 def build_agent():
@@ -188,6 +200,8 @@ def make_rollout():
     from pointcloud_rl_tpu.env import Rollout
 
     env_cfg = dict(type="gym", env_name="dmc_walker_walk-v0", obs_mode="pointcloud", stack_frame=3)
+    if SERVER_OBS:
+        env_cfg["server_obs"] = True
     try:
         return Rollout(env_cfg=env_cfg, num_procs=NUM_PROCS, base_seed=0,
                        pipeline_groups=PIPELINE_GROUPS, eager_push=EAGER_PUSH), "dmc_walker_walk"

@@ -13,7 +13,16 @@ env_cfg = dict(env_name="dmc_walker_walk-v0")
 
 agent_cfg = dict(
     actor_cfg=dict(nn_cfg=dict(visual_nn_cfg=dict(fused=True))),
+    # f16 act uploads: round-3 fetch sweep winner (tools/exp_fetch.py)
+    obs_transfer_cfg=dict(pos_encoding_on_device=True, pack_dtype="float16"),
 )
+
+# pack_features: store the glued channel-last bf16 model-input tensor in
+# HBM so the update's obs prep collapses to the sampling gather — the
+# round-4 profile-driven winner (tools/exp_update_profile.py; grad-only
+# 199 -> 305 updates/s on v5e).  SAC-only: DrQ's in-update point aug needs
+# the raw xyz layout and keeps the default storage.
+replay_cfg = dict(transfer_cfg=dict(_delete_=True, pack_features=True))
 
 # pipeline_groups=1: ONE act program per 16-env step — the round-3 overlap
 # sweep (tools/exp_overlap.py) measured fewer action fetches beating

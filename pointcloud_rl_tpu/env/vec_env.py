@@ -476,7 +476,13 @@ class UnifiedVectorEnvAPI(VectorEnvBase):
     def reset(self, idx=None, **kwargs):
         obs = self.vec_env.reset(idx=idx, **kwargs)
         if idx is None or self.recent_obs is None:
-            self.recent_obs = obs
+            # Own a WRITABLE persistent buffer: device-fused obs
+            # (server_env._fuse) arrive as read-only zero-copy host views,
+            # and step_dict_wait/partial reset write into recent_obs in place.
+            self.recent_obs = tree_map(
+                lambda x: np.array(x) if isinstance(x, np.ndarray) and not x.flags.writeable else x,
+                obs,
+            )
             self.recent_actions = self._zero_actions()
             self.prev_actions = self._zero_actions()
             self.episode_dones = np.zeros((self.num_envs, 1), bool)

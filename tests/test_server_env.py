@@ -137,3 +137,25 @@ def test_server_vec_env_contract():
     finally:
         env.close()
         host.close()
+
+
+def test_server_vec_env_unified_step_dict_writable_buffer():
+    """Regression: the unified API's persistent recent_obs buffer must be
+    WRITABLE even though server fusion returns read-only zero-copy host
+    views of device arrays — step_dict_wait writes next_obs into it in
+    place (vec_env.py step_dict_wait)."""
+    cfg = dict(
+        type="gym", env_name="dmc_cartpole_swingup-v0", obs_mode="pointcloud",
+        stack_frame=3, server_obs=True, image_size=(64, 64), n_points=128,
+        num_ground=32,
+    )
+    env = build_vec_env(cfg, num_procs=2, base_seed=0)
+    try:
+        env.reset()
+        actions = np.stack([env.single_action_space.sample() for _ in range(2)])
+        ret = env.step_dict(actions)
+        assert ret["obs"]["xyz"].shape == (2, 3, 128 * 3)
+        ret2 = env.step_dict(actions)  # second write into the same buffer
+        assert np.isfinite(ret2["rewards"]).all()
+    finally:
+        env.close()
