@@ -7,7 +7,29 @@
 # relay death costs at most one chunk.
 _base_ = ["./pn_shift_opencabinetdoor.py"]
 
+# TPU wall-clock shaping (round 4, measured on the tunneled v5e with the
+# OpenCabinetDoor shapes): the default host ReplayMemory pays a ~22 MB
+# host->device batch upload per update (~220 ms/update) and per-leaf act
+# uploads cost ~326 ms/act — HBM-resident replay with f16 storage plus a
+# single packed f16 act upload removes both.  8 workers halve the act
+# fetch count per env step (1 core: sim aggregate is fixed, fetches
+# amortize).  The update:env-step ratio stays the reference's 1:4
+# (pn_base.py n_steps=4/n_updates=1 -> 8/2).
+agent_cfg = dict(
+    bf16=True,
+    obs_transfer_cfg=dict(pack_dtype="float16"),
+)
+
+replay_cfg = dict(
+    type="DeviceReplayMemory",
+    transfer_cfg=dict(dtype_map=dict(xyz="float16", rgb="float16", seg="float16")),
+)
+
+rollout_cfg = dict(num_procs=8)
+
 train_cfg = dict(
+    n_steps=8,
+    n_updates=2,
     total_steps=100000,
     n_checkpoint=10000,
     save_replay=25000,

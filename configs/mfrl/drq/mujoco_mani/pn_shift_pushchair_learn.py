@@ -5,7 +5,24 @@
 # snapshots so a relay death costs at most one chunk.
 _base_ = ["./pn_shift_pushchair.py"]
 
+# TPU wall-clock shaping — same measured recipe as
+# pn_shift_opencabinetdoor_learn.py (HBM-resident f16 replay, packed f16
+# act uploads, bf16 matmuls, 8 workers; reference 1:4 update ratio kept).
+agent_cfg = dict(
+    bf16=True,
+    obs_transfer_cfg=dict(pack_dtype="float16"),
+)
+
+replay_cfg = dict(
+    type="DeviceReplayMemory",
+    transfer_cfg=dict(dtype_map=dict(xyz="float16", rgb="float16", seg="float16")),
+)
+
+rollout_cfg = dict(num_procs=8)
+
 train_cfg = dict(
+    n_steps=8,
+    n_updates=2,
     total_steps=100000,
     n_checkpoint=10000,
     save_replay=25000,
