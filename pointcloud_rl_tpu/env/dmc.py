@@ -203,7 +203,7 @@ class DMCEnv(Env):
         obs = {}
         if self.obs_mode in ("pointcloud", "xyz-img"):
             cam_pos, cam_rot = self.get_cam_pose()
-            if self.obs_mode == "pointcloud" and self.use_native:
+            if self.obs_mode == "pointcloud" and self.use_native and self.num_ground >= 0:
                 return self._native_pointcloud_obs(rgb, depth, sign, cam_pos, cam_rot)
             xyz = self._unproject(depth) @ cam_rot.T  # world-oriented, camera-centered
             if self.z_to_world:
@@ -214,6 +214,25 @@ class DMCEnv(Env):
                 if xyz.shape[0] == 0:
                     xyz = np.zeros([self.n_points, 3], np.float32)
                     rgb_pts = np.zeros([self.n_points, 3], np.uint8)
+                    if self.num_ground == -1:
+                        obs["filter_seg"] = np.zeros([self.n_points, 1], np.uint8)
+                elif self.num_ground == -1:
+                    # No ground/body budget split: random-permute (pad by
+                    # tiling) to n_points and emit the foreground mask as a
+                    # ``filter_seg`` channel for a downstream seg-aware
+                    # downsample aug (reference dm_control_utils.py:407-421;
+                    # consumed by ops/augment.RandomDownSampleAndFilter).
+                    base_z = xyz[..., -1].min() if self.fix_base_z is None else self.fix_base_z
+                    ground = xyz[..., -1] <= base_z + self.ground_eps
+                    len_xyz = len(xyz)
+                    if len_xyz < self.n_points:
+                        index = np.arange(len_xyz)
+                        index = np.concatenate([index] * ((self.n_points + len_xyz - 1) // len_xyz))
+                    else:
+                        index = self.np_random.permutation(len_xyz)
+                    index = index[: self.n_points]
+                    xyz, rgb_pts = xyz[index], rgb_pts[index]
+                    obs["filter_seg"] = (~ground[index])[:, None].astype(np.uint8)
                 else:
                     base_z = xyz[..., -1].min() if self.fix_base_z is None else self.fix_base_z
                     ground = xyz[..., -1] <= base_z + self.ground_eps

@@ -25,7 +25,7 @@ def build_all(cfg, default_args=None):
     raise KeyError(f"Unknown model type: {cfg.get('type')}")
 
 
-from . import blocks, cnn, heads, pointnet, rnn, voxel  # noqa: E402,F401  (registration side effects)
+from . import blocks, cnn, heads, pointnet, rnn, vn, voxel  # noqa: E402,F401  (registration side effects)
 from .actor_critic import ActorCriticModel, ContinuousActorDef, ContinuousCriticDef  # noqa: E402,F401
 from .builder import build_actor_critic, init_actor_critic_params  # noqa: E402,F401
 from .utils import get_kwargs_from_shape, replace_placeholder_with_args  # noqa: E402,F401

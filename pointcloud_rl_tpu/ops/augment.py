@@ -237,6 +237,105 @@ class RandomDownSample(BaseAugmentation):
 
 
 @AUGMENTATIONS.register_module()
+class RandomDownSampleAndFilter(BaseAugmentation):
+    """Segmentation-aware random downsample with a per-frame foreground
+    budget.
+
+    Parity target: the reference registers this only in
+    ``configs/mfrl/drq/dm_control/pn_sample.py`` (n_points=512, n_fg=292,
+    stack_frame=3) — the implementation is ABSENT from the reference
+    snapshot (SURVEY.md §2.3), so that config cannot run there.  Semantics
+    here follow the env-side budget split the reference DOES ship
+    (dm_control_utils.py:365-381 ``sample_and_pad`` over body/ground
+    masks), lifted into the jitted update: per stacked frame, sample
+    ``n_fg`` points where ``filter_seg`` is true and ``n_points - n_fg``
+    from the rest, pad-by-tiling when a side is short, zero-fill when a
+    side is empty, and gather the SAME indices from every requested key.
+
+    func_keys/func_key_map (reference config contract): the keys the
+    selection function reads, mapped to canonical names — e.g.
+    ``"filter_seg" -> "seg"`` via ``lambda _: _.split("_")[-1]``.  The key
+    mapping to ``"seg"`` provides the foreground mask; it is downsampled
+    along with the req_keys so the dict stays shape-consistent.
+    """
+
+    def __init__(self, main_key="xyz", req_keys=("xyz", "rgb", "pos_encoding"),
+                 func_keys=("xyz", "filter_seg"), func_key_map='lambda _: _.split("_")[-1]',
+                 n_points=512, n_fg=292, stack_frame=1):
+        super().__init__(main_key, req_keys)
+        self.n_points = int(n_points)
+        self.n_fg = int(n_fg)
+        assert 0 <= self.n_fg <= self.n_points
+        self.stack_frame = int(stack_frame)
+        key_map = eval(func_key_map) if isinstance(func_key_map, str) else (func_key_map or (lambda k: k))
+        self.seg_key = next((k for k in func_keys if key_map(k) == "seg"), "seg")
+
+    def _frame_indices(self, rng, seg):
+        """seg: [B, Nf] bool for ONE frame -> [B, n_points] indices into Nf.
+        Foreground picks first (n_fg), then the rest (n_points - n_fg)."""
+        B, Nf = seg.shape
+        scores = jax.random.uniform(rng, (B, Nf))
+
+        def _side(mask, count):
+            # Sort so masked points come first in random order; positions
+            # beyond the available count wrap (pad-by-tiling, like the
+            # reference's sample_and_pad).
+            order = jnp.argsort(jnp.where(mask, scores, scores + 2.0), axis=-1)
+            avail = mask.sum(axis=-1, keepdims=True)  # [B, 1]
+            pos = jnp.arange(count)[None, :]
+            pos = jnp.where(pos < avail, pos, pos % jnp.maximum(avail, 1))
+            idx = jnp.take_along_axis(order, pos, axis=-1)  # [B, count]
+            valid = (avail > 0)  # [B, 1] zero-fill marker for the empty side
+            return idx, valid
+
+        fg_idx, fg_valid = _side(seg, self.n_fg)
+        bg_idx, bg_valid = _side(~seg, self.n_points - self.n_fg)
+        idx = jnp.concatenate([fg_idx, bg_idx], axis=-1)
+        valid = jnp.concatenate(
+            [jnp.broadcast_to(fg_valid, fg_idx.shape), jnp.broadcast_to(bg_valid, bg_idx.shape)],
+            axis=-1,
+        )
+        return idx, valid
+
+    def sample_info(self, rng, main_data):
+        return None  # selection needs the seg key; done in __call__
+
+    def __call__(self, rng, data):
+        data = _shallow_copy(data)
+        seg = path_get(data, self.seg_key)
+        assert seg is not None, f"RandomDownSampleAndFilter: missing '{self.seg_key}' in obs"
+        seg = jnp.asarray(seg)
+        if seg.ndim == 3:  # channel-first [B, 1, N]
+            seg = seg[:, 0, :]
+        seg = seg.astype(bool)
+        N = seg.shape[-1]
+        assert N % self.stack_frame == 0, (N, self.stack_frame)
+        Nf = N // self.stack_frame
+        assert self.n_points <= Nf, f"n_points {self.n_points} > frame size {Nf}"
+
+        idx_frames, valid_frames = [], []
+        for f in range(self.stack_frame):  # static unroll
+            idx_f, valid_f = self._frame_indices(
+                jax.random.fold_in(rng, f), seg[..., f * Nf:(f + 1) * Nf]
+            )
+            idx_frames.append(idx_f + f * Nf)
+            valid_frames.append(valid_f)
+        index = jnp.concatenate(idx_frames, axis=-1)  # [B, stack * n_points]
+        valid = jnp.concatenate(valid_frames, axis=-1)
+
+        for key in list(self.req_keys) + [self.seg_key]:
+            item = path_get(data, key)
+            if item is None:
+                continue
+            x = jnp.asarray(item)
+            picked = jnp.take_along_axis(x, index[:, None, :], axis=-1)  # [B, C, stack*n_points]
+            if key in ("xyz", "rgb"):  # reference zero-fills an empty side's values
+                picked = picked * valid[:, None, :].astype(picked.dtype)
+            path_set(data, key, picked)
+        return data
+
+
+@AUGMENTATIONS.register_module()
 class ColorJitterPoints(BaseAugmentation):
     """Brightness/contrast/saturation/hue jitter on [B, 3, N] uint8 colors
     (pcd_aug.py:270-303).  torchvision samples ONE factor per call applied to

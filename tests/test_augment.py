@@ -119,3 +119,101 @@ def test_add_origin_ball():
     # appended points cluster at the origin, with zero seg/rgb
     assert float(jnp.abs(out["xyz"][:, :, 20:]).max()) < 0.2
     assert float(out["seg"][:, :, 20:].sum()) == 0
+
+
+def _dsf_cfg(**over):
+    cfg = dict(
+        type="RandomDownSampleAndFilter", main_key="xyz",
+        req_keys=["xyz", "rgb", "pos_encoding"],
+        func_keys=["xyz", "filter_seg"], func_key_map='lambda _: _.split("_")[-1]',
+        n_points=8, n_fg=5, stack_frame=1,
+    )
+    cfg.update(over)
+    return [cfg]
+
+
+def _dsf_data(rs, batch=2, n=24, stack=1, fg_per_frame=None):
+    """Cloud where xyz encodes the source point index so selections are
+    traceable; rgb = index too (same-gather check)."""
+    N = n * stack
+    idx = np.arange(N, dtype=np.float32)
+    xyz = np.stack([np.tile(idx, (batch, 1))] * 3, axis=1)  # [B, 3, N]
+    seg = np.zeros((batch, 1, N), np.uint8)
+    for f in range(stack):
+        k = n if fg_per_frame is None else fg_per_frame
+        seg[:, :, f * n: f * n + k] = 1
+    pos = np.repeat(np.eye(stack, dtype=np.uint8), n, axis=-1)
+    data = {"xyz": jnp.asarray(xyz), "rgb": jnp.asarray(xyz.astype(np.uint8)),
+            "pos_encoding": jnp.asarray(np.tile(pos, (batch, 1, 1))),
+            "filter_seg": jnp.asarray(seg)}
+    return data
+
+
+def test_downsample_and_filter_budget_split():
+    rs = np.random.RandomState(0)
+    data = _dsf_data(rs, n=24, fg_per_frame=12)  # plenty on both sides
+    aug = build_data_augmentations(_dsf_cfg())
+    out = aug(jax.random.PRNGKey(0), data)
+    assert out["xyz"].shape == (2, 3, 8)
+    assert out["rgb"].shape == (2, 3, 8)
+    assert out["filter_seg"].shape == (2, 1, 8)
+    seg = np.asarray(out["filter_seg"])[:, 0]
+    # first n_fg slots foreground, the rest background — exactly the budget
+    assert (seg[:, :5] == 1).all() and (seg[:, 5:] == 0).all()
+    # the same indices were gathered from every key
+    np.testing.assert_array_equal(np.asarray(out["xyz"][:, 0]).astype(np.uint8),
+                                  np.asarray(out["rgb"][:, 0]))
+    # foreground slots actually come from the seg=1 index range [0, 12)
+    assert np.asarray(out["xyz"][:, 0, :5]).max() < 12
+    assert np.asarray(out["xyz"][:, 0, 5:]).min() >= 12
+
+
+def test_downsample_and_filter_pad_by_tiling():
+    rs = np.random.RandomState(1)
+    data = _dsf_data(rs, n=24, fg_per_frame=3)  # only 3 fg points for a 5 budget
+    aug = build_data_augmentations(_dsf_cfg())
+    out = aug(jax.random.PRNGKey(0), data)
+    fg = np.asarray(out["xyz"][:, 0, :5])
+    assert (fg < 3).all()  # all picks from the 3 available fg points
+    for b in range(fg.shape[0]):
+        assert len(np.unique(fg[b])) == 3  # wrapped, not truncated
+
+
+def test_downsample_and_filter_empty_side_zero_fill():
+    rs = np.random.RandomState(2)
+    data = _dsf_data(rs, n=24, fg_per_frame=0)  # no foreground at all
+    aug = build_data_augmentations(_dsf_cfg())
+    out = aug(jax.random.PRNGKey(0), data)
+    assert float(np.abs(np.asarray(out["xyz"][:, :, :5])).max()) == 0.0
+    assert float(np.asarray(out["rgb"][:, :, :5]).max()) == 0.0
+    seg = np.asarray(out["filter_seg"])[:, 0]
+    assert (seg[:, :5] == 0).all()
+
+
+def test_downsample_and_filter_stacked_frames():
+    rs = np.random.RandomState(3)
+    data = _dsf_data(rs, n=24, stack=3, fg_per_frame=12)
+    aug = build_data_augmentations(_dsf_cfg(stack_frame=3))
+    out = aug(jax.random.PRNGKey(0), data)
+    assert out["xyz"].shape == (2, 3, 24)  # 3 frames x 8 points
+    assert out["pos_encoding"].shape == (2, 3, 24)
+    src = np.asarray(out["xyz"][:, 0]).astype(int)
+    pos = np.asarray(out["pos_encoding"])
+    for f in range(3):
+        block = src[:, f * 8:(f + 1) * 8]
+        assert (block >= f * 24).all() and (block < (f + 1) * 24).all()
+        # pos_encoding rides the same gather: frame block stays one-hot f
+        np.testing.assert_array_equal(pos[:, f, f * 8:(f + 1) * 8], 1)
+    # per-frame budget: 5 fg (< f*24+12) then 3 bg in each frame block
+    for f in range(3):
+        block = src[:, f * 8:(f + 1) * 8] - f * 24
+        assert (block[:, :5] < 12).all() and (block[:, 5:] >= 12).all()
+
+
+def test_downsample_and_filter_jits():
+    rs = np.random.RandomState(4)
+    data = _dsf_data(rs, n=24, fg_per_frame=12)
+    aug = build_data_augmentations(_dsf_cfg())
+    jitted = jax.jit(lambda k, d: aug(k, d))
+    out = jitted(jax.random.PRNGKey(0), data)
+    assert out["xyz"].shape == (2, 3, 8)

@@ -71,3 +71,29 @@ def test_dmc_rgbd_obs():
         assert 0 <= obs["depth"].min() and obs["depth"].max() <= 1.0
     finally:
         env.close()
+
+
+@requires_dmc
+@pytest.mark.slow
+def test_dmc_dense_cloud_filter_seg():
+    """num_ground=-1: dense permuted cloud + foreground mask channel (the
+    pn_sample.py env contract; consumed by RandomDownSampleAndFilter)."""
+    cfg = dict(type="gym", env_name="dmc_cartpole_swingup-v0", obs_mode="pointcloud",
+               stack_frame=3, num_ground=-1, n_points=500)
+    env = build_env(cfg)
+    try:
+        env.seed(0)
+        obs = env.reset()
+        n = obs["xyz"].shape[-1]
+        assert n == 500 * 3
+        assert obs["filter_seg"].shape == (1, n) and obs["filter_seg"].dtype == np.uint8
+        seg = obs["filter_seg"][0].astype(bool)
+        # both classes present and the mask matches the height heuristic:
+        # foreground points sit strictly above the lowest band
+        assert seg.any() and (~seg).any()
+        z = obs["xyz"][2]
+        assert z[seg].min() >= z[~seg].min()
+        info_d = get_env_info(cfg, env=None)
+        assert info_d["obs_shape"]["filter_seg"] == (1, n)
+    finally:
+        env.close()
