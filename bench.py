@@ -42,10 +42,26 @@ against a 122 steps/s sweep best.  On a locally-attached chip (fetch
 ~min(env, grad) ~= 190+ steps/s — the residual vs grad-only 196 is pure
 relay round-trip latency.
 
-Worker-count sweep (PCRL_BENCH_PROCS): 32 workers halve the fetch count
-per env step but the single host core pays more scheduling overhead per
-sim step (env-only 302 -> 253 steps/s), so combined stays ~122 — the
-fetch saving and the sim slowdown cancel.  16 workers remain the default.
+Worker-count sweep (PCRL_BENCH_PROCS): in the round-3 regime (update
+5.3 ms, host pack 6-7 ms/act) 16 workers and 32 workers measured equal —
+the fetch saving and the sim slowdown cancelled.  Round 4 changed both
+terms: pack-mode updates run 2.9-3.3 ms (the device stopped being the
+binding side) and the host cuts below freed ~1 ms/step of 1-core CPU, so
+the fetch amortization now wins: 32 workers measure 173-175 steps/s vs
+146-151 at 16 (medians of 3 windows, same session).  32 is the default.
+
+Round-4 host-path cuts (cProfile of the combined loop, tools/tpu_repl.py
+drives the experiments): single-pass act pack (slice-assign into the wire
+dtype instead of concat(f32)+astype(f16), ~6.3 -> ~2 ms/act), no
+double-copy in step_dict_async (fancy-index already copies), zero-copy
+slice views for the act obs gather, and the replay push strips the
+constant pos_encoding block host-side and re-synthesizes it inside the
+jitted device packer (~30% of push relay bytes).  Per-fetch floor is
+~25 ms for ANY payload (measured: asarray / device_get / bg-thread all
+equal; is_ready sleep-polling doubles it) — on a 1-core host the fetch
+cannot hide behind sim (dispatching sim IS sim: the write wakes the
+worker which preempts the dispatcher), so fewer+bigger act rounds are
+the only lever on the fetch term.
 """
 
 from __future__ import annotations
@@ -63,10 +79,11 @@ ACTION_DIM = 6
 BATCH = 256
 import os as _os
 
-NUM_PROCS = int(_os.environ.get("PCRL_BENCH_PROCS", "16"))
-PIPELINE_GROUPS = 1  # round-3 sweep (tools/exp_overlap.py): ONE act program
-# per env-step beats split groups on the relay — fewer fetches dominates
-# cross-group sim/fetch overlap (122 vs 103-111 steps/s at chunk=16)
+NUM_PROCS = int(_os.environ.get("PCRL_BENCH_PROCS", "32"))
+PIPELINE_GROUPS = int(_os.environ.get("PCRL_BENCH_GROUPS", "2"))
+# Round-4 sweep (post host cuts, medians of 3): procs=32 groups=2 chunk=32
+# 174.9 ~= groups=1 173.1 (within relay noise; groups=2 kept — it matches
+# the Rollout default and had the higher median); procs=16 stays 146-151.
 # PCRL_BENCH_PROCS: worker-count override for shape sweeps — the ~43 ms
 # blocked action fetch amortizes over num_procs env steps, so larger worker
 # pools trade per-step relay tax against update-scan backlog (the sweep in
@@ -394,7 +411,10 @@ def main() -> None:
         # chunk candidates scale with the cycle (NUM_PROCS * 2 steps): larger
         # worker pools admit bigger scan programs (fewer dispatches per cycle).
         cycle = NUM_PROCS * 2
-        chunks = tuple(c for c in (16, 32, 64) if c <= cycle) or (cycle,)
+        # 64-length scans excluded: a ~200 ms scan program head-of-line
+        # blocks the act fetches that land behind it in the device queue
+        # (and its cold compile costs ~5 min through the relay).
+        chunks = tuple(c for c in (16, 32) if c <= cycle) or (cycle,)
         candidates = []
         for c in chunks:
             candidates.append(measure_combined_rate(agent, rollout, mem, chunk=c))
@@ -425,7 +445,7 @@ def main() -> None:
         f"combined 1 env + 1 grad: {combined:.1f} step/s (median of windows {window_rates}, "
         f"update MFU {mfu*100:.2f}%), "
         f"rollout time split {breakdown} | relay audit (ms, medians): {audit} — "
-        f"per {NUM_PROCS * 2}-step cycle: 2 act fetches + {NUM_PROCS * 2} host sim steps "
+        f"per {NUM_PROCS * 2}-step cycle: {2 * PIPELINE_GROUPS} act fetches + {NUM_PROCS * 2} host sim steps "
         f"+ update-scan device time; the gap to grad-only is the blocked-fetch round trip "
         f"(see module docstring / tools/exp_overlap.py)",
         file=sys.stderr,

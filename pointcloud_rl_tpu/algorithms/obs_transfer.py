@@ -108,7 +108,7 @@ def complete_packed(x: jnp.ndarray, spec: ObsTransferSpec) -> jnp.ndarray:
     return jnp.concatenate([x[..., : spec.insert_at, :], pe, x[..., spec.insert_at :, :]], axis=-2)
 
 
-def pack_device_features(obs: Dict[str, Any], dtype=jnp.bfloat16) -> Dict[str, Any]:
+def pack_device_features(obs: Dict[str, Any], dtype=jnp.bfloat16, synth_pos=None) -> Dict[str, Any]:
     """Glue a raw pointcloud obs dict into the MODEL-INPUT feature tensor,
     once, on device: ``{"pcd": [..., N, C] <dtype>, "state"?: f32}``.
 
@@ -125,12 +125,22 @@ def pack_device_features(obs: Dict[str, Any], dtype=jnp.bfloat16) -> Dict[str, A
     pos_encoding, seg.  Numerics: identical to the default path for f32
     storage — both cast the same f32 values to bf16 exactly once (here at
     push; there at the kernel's matmul input).
+
+    ``synth_pos=(rows, points_per_frame)``: re-synthesize the constant
+    pos_encoding block on device when the pushed obs was stripped of it
+    host-side (DeviceReplayMemory auto-drops it before upload — the block
+    is ~30% of a push's relay payload for stacked DMC obs and bitwise
+    reproducible from its shape alone).
     """
     feats = [jnp.asarray(obs["xyz"], jnp.float32)]
     if "rgb" in obs:
         rgb = jnp.asarray(obs["rgb"])
         rgb = rgb.astype(jnp.float32) / 255.0 if rgb.dtype == jnp.uint8 else rgb.astype(jnp.float32)
         feats.append(rgb)
+    if "pos_encoding" not in obs and synth_pos is not None:
+        rows, ppf = synth_pos
+        pe = synth_pos_encoding(rows, ppf)
+        feats.append(jnp.broadcast_to(pe, feats[0].shape[:-2] + pe.shape))
     for key in ("pos_encoding", "seg"):
         if key in obs:
             feats.append(jnp.asarray(obs[key], jnp.float32))

@@ -65,24 +65,16 @@ class DeviceReplayMemory:
         # path is for the non-augmented SAC pipeline).
         self.transfer_cfg = dict(transfer_cfg) if transfer_cfg else None
         self._pack_features = None
+        self._pack_dtype = None
         if self.transfer_cfg and self.transfer_cfg.get("pack_features"):
             pf = self.transfer_cfg.pop("pack_features")
-            dtype = jnp.bfloat16 if pf is True else np.dtype(pf)
+            self._pack_dtype = jnp.bfloat16 if pf is True else np.dtype(pf)
             if not self.transfer_cfg:
                 self.transfer_cfg = None
-
-            from ..algorithms.obs_transfer import pack_device_features
-
-            @jax.jit
-            def _packer(items):
-                items = dict(items)
-                for key in ("obs", "next_obs"):
-                    o = items.get(key)
-                    if isinstance(o, dict) and "xyz" in o:
-                        items[key] = pack_device_features(o, dtype)
-                return items
-
-            self._pack_features = _packer
+            # the jitted packer is built at first push — it needs the
+            # pos_encoding block shape to strip it from the relay payload
+            # and re-synthesize it on device (see _build_packer)
+            self._pack_features = self._build_packer
         self.sharding = None  # set via place_on() under a data-parallel mesh
         self._key = jax.random.PRNGKey(seed if seed is not None else 0)
         # trajectory caching (full-episode mode) stays host-side
@@ -144,6 +136,45 @@ class DeviceReplayMemory:
         self.sharding = sharding
         if self.storage is not None:
             self.storage = jax.device_put(self.storage, sharding)
+
+    def _build_packer(self, items: Dict[str, Any]):
+        """First-push packer construction: record the pos_encoding block
+        shape, then replace self._pack_features with a jitted packer that
+        STRIPS the block host-side (it's a constant one-hot — ~30% of a
+        stacked-DMC push's relay bytes) and re-synthesizes it on device
+        inside the pack (bitwise identical, obs_transfer.synth_pos_encoding)."""
+        from ..algorithms.obs_transfer import pack_device_features
+
+        dtype = self._pack_dtype
+        synth = None
+        obs = items.get("obs")
+        if isinstance(obs, dict) and "pos_encoding" in obs:
+            rows, n = (int(s) for s in np.asarray(obs["pos_encoding"]).shape[-2:])
+            if n % rows == 0:
+                synth = (rows, n // rows)
+
+        @jax.jit
+        def _packer(items):
+            items = dict(items)
+            for key in ("obs", "next_obs"):
+                o = items.get(key)
+                if isinstance(o, dict) and "xyz" in o:
+                    items[key] = pack_device_features(o, dtype, synth_pos=synth)
+            return items
+
+        def _strip_and_pack(items):
+            if synth is not None:
+                for key in ("obs", "next_obs"):
+                    o = items.get(key)
+                    if isinstance(o, dict) and "pos_encoding" in o:
+                        o = dict(o)
+                        o.pop("pos_encoding")
+                        items = dict(items)
+                        items[key] = o
+            return _packer(items)
+
+        self._pack_features = _strip_and_pack
+        return _strip_and_pack(items)
 
     def push_batch(self, items: Dict[str, Any]) -> None:
         items = self._clean(items)

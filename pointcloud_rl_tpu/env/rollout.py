@@ -174,7 +174,12 @@ class Rollout:
         t_agent = t_sim = t_copy = 0.0
 
         def _obs_of(idx):
-            return tree_map(lambda x: x[idx], self.vec_env.recent_obs)
+            # groups are contiguous ranges (array_split over arange): a
+            # basic slice returns zero-copy VIEWS, which is safe here — the
+            # act path packs/uploads the obs before recent_obs next mutates
+            # (fancy-index copies cost ~1 ms/act of 1-core host time).
+            sl = slice(int(idx[0]), int(idx[-1]) + 1)
+            return tree_map(lambda x: x[sl], self.vec_env.recent_obs)
 
         def _flush(t0):
             nonlocal t_copy

@@ -514,9 +514,12 @@ class UnifiedVectorEnvAPI(VectorEnvBase):
         key = tuple(int(i) for i in idx)
         assert key not in self._pending, f"Group {key} already has a pending step"
         actions = np.asarray(actions)
+        # x[idx] fancy-indexing already materializes a copy (idx is an index
+        # array), so the snapshot survives recent_obs/recent_actions mutation
+        # without a second .copy() pass — this sits on the per-step hot path.
         self._pending[key] = dict(
-            obs=tree_map(lambda x: x[idx].copy(), self.recent_obs),
-            prev_actions=self.recent_actions[idx].copy(),
+            obs=tree_map(lambda x: x[idx], self.recent_obs),
+            prev_actions=self.recent_actions[idx],
             actions=actions.copy(),
         )
         self.prev_actions[idx] = self.recent_actions[idx]
