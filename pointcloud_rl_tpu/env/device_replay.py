@@ -227,12 +227,37 @@ class DeviceReplayMemory:
         host.push_batch(self.get_all())
         host.to_hdf5(filename)
 
-    def load_hdf5(self, filename: str) -> None:
+    def load_hdf5(self, filename: str, chunk: int = 4096) -> None:
+        """Stream the snapshot in fixed-size chunks.
+
+        A single 50k-row ``push_batch`` would (a) trace/compile fresh
+        pack + ring-write programs for the one-off batch shape and (b) ship
+        the whole multi-GB payload as ONE relay transfer that cannot overlap
+        host HDF5 decode.  Fixed ``chunk`` rows compile two small programs
+        once (full chunk + tail) and pipeline decode with device uploads.
+        """
         import h5py
 
         with h5py.File(filename, "r") as f:
 
-            def _load(group):
-                return {k: (_load(v) if hasattr(v, "items") else np.asarray(v)) for k, v in group.items()}
+            def _load(group, sl):
+                return {
+                    k: (_load(v, sl) if hasattr(v, "items") else np.asarray(v[sl]))
+                    for k, v in group.items()
+                }
 
-            self.push_batch(_load(f))
+            # length from any leaf dataset (walk to the first non-group)
+            def _first_ds(g):
+                for v in g.values():
+                    if hasattr(v, "items"):
+                        found = _first_ds(v)
+                        if found is not None:
+                            return found
+                    else:
+                        return v
+                return None
+
+            ds = _first_ds(f)
+            n = 0 if ds is None else len(ds)
+            for start in range(0, n, chunk):
+                self.push_batch(_load(f, slice(start, min(start + chunk, n))))

@@ -162,6 +162,32 @@ def test_replay_hdf5_roundtrip(tmp_path):
     np.testing.assert_array_equal(mem2.memory["obs"][:8], mem.memory["obs"][:8])
 
 
+def test_device_replay_hdf5_chunked_load(tmp_path):
+    """DeviceReplayMemory.load_hdf5 streams the snapshot in fixed chunks
+    (one small compile + pipelined uploads instead of a one-off multi-GB
+    program); order and contents must survive the chunking, including a
+    ragged tail chunk."""
+    from pointcloud_rl_tpu.env import DeviceReplayMemory
+
+    n = 18
+    data = dict(
+        obs=np.arange(n, dtype=np.float32)[:, None].repeat(3, 1),
+        actions=np.linspace(-1, 1, 2 * n, dtype=np.float32).reshape(n, 2),
+        rewards=np.arange(n, dtype=np.float32)[:, None],
+    )
+    src = DeviceReplayMemory(capacity=32, seed=0)
+    src.push_batch(data)
+    path = str(tmp_path / "replay.h5")
+    src.to_hdf5(path)
+
+    dst = DeviceReplayMemory(capacity=32, seed=0)
+    dst.load_hdf5(path, chunk=7)  # 7 + 7 + 4: exercises the ragged tail
+    assert len(dst) == n
+    out = dst.get_all()
+    for key in data:
+        np.testing.assert_allclose(out[key], data[key], rtol=0, atol=0)
+
+
 class _CountingPolicy:
     def __init__(self, action_dim=3):
         self.calls = 0

@@ -111,6 +111,37 @@ def test_pipelined_single_group_with_hook(tmp_path):
         rollout.close()
 
 
+def test_pipelined_episode_stats_across_groups():
+    """Episode accounting through the pipelined (grouped) rollout path:
+    every transition must land on the RIGHT worker's accumulator even when
+    two groups interleave act/step events.  DistEnv episodes are exactly one
+    step long, so any cross-group row/worker mixup shows up as an episode of
+    length != 1 (one worker double-counted, another starved)."""
+    from pointcloud_rl_tpu.env import Rollout
+
+    from tests.test_algorithms import _state_agent_cfg
+
+    env_cfg = dict(type="gym", env_name="reacher3d_easy-v0", obs_mode="state")
+    rollout = Rollout(env_cfg=env_cfg, num_procs=8, base_seed=0, pipeline_groups=2)
+    agent = build_agent(_state_agent_cfg(obs_dim=4, action_dim=3, batch_size=16))
+    mem = DeviceReplayMemory(capacity=1024, seed=0)
+    try:
+        rollout.forward_with_policy(None, 32, mem)  # warm-up
+        rollout.episode_stats.reset_history()
+        rollout.episode_stats.reset_current()
+        out = rollout.forward_with_policy(agent, 8 * 6, mem, update_hook=lambda: None)
+        st = rollout.episode_stats
+        # num_episodes is lifetime; the history window holds this collection
+        assert len(st.history_rewards) == 8 * 6
+        assert all(length == 1 for length in st.history_lens)
+        assert np.isfinite(st.history_rewards).all()
+        # current accumulators drained: no half-finished episodes linger
+        assert (st.current_lens == 0).all()
+        assert np.isfinite(out["rewards"]).all()
+    finally:
+        rollout.close()
+
+
 def test_act_fused_updates():
     """set_fused_updates arms the act-fused path: explore forwards carry
     gradient-step chunks inside the act program (one dispatch per group-step
