@@ -125,8 +125,26 @@ def train_rl(
         logger.info(f"Warm-up finished: {warm_steps} random steps, buffer size {len(replay)}")
         rollout.episode_stats.reset_current()
 
+    # ---- graceful preemption (SURVEY §5.3) ---------------------------------
+    # Schedulers and bounded runs (`timeout N python -m ...run_rl`) stop jobs
+    # with SIGTERM; Python's default handler kills the process mid-cycle,
+    # losing everything since the last n_checkpoint multiple.  Trap it into a
+    # flag, finish the current cycle, save a NUMBERED checkpoint (model_final
+    # auto-resumes at step 0 — find_checkpoint needs model_<step>), and exit
+    # cleanly so run_rl's finally still tears down workers.
+    import signal as _signal
+
+    stop_sig = {"num": None}
+    _prev_term = None
+    try:
+        _prev_term = _signal.signal(
+            _signal.SIGTERM, lambda signum, frame: stop_sig.__setitem__("num", signum)
+        )
+    except ValueError:  # not the main thread (embedded/test callers): skip
+        pass
+
     # ---- main loop ---------------------------------------------------------
-    while steps < total_steps:
+    while steps < total_steps and stop_sig["num"] is None:
         if watchdog is not None:
             watchdog.pet()
         iter_t0 = time.monotonic()
@@ -340,12 +358,18 @@ def train_rl(
                 os.replace(dst + ".tmp", dst)
                 logger.info(f"Saved replay snapshot ({len(snap)} transitions)")
 
+    if _prev_term is not None:
+        _signal.signal(_signal.SIGTERM, _prev_term)
     if watchdog is not None:
         watchdog.stop()
     if profiler_active:
         import jax
 
         jax.profiler.stop_trace()
+    if is_lead and stop_sig["num"] is not None:
+        # Preempted: a numbered checkpoint so --auto-resume continues HERE.
+        path = save_checkpoint(agent.state_dict(), work_dir, steps)
+        logger.info(f"SIGTERM at {steps} steps; preemption checkpoint: {path}")
     if is_lead:
         path = save_checkpoint(agent.state_dict(), work_dir, steps, name="model_final")
         logger.info(f"Training finished at {steps} steps; final checkpoint: {path}")

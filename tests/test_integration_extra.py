@@ -111,6 +111,43 @@ def test_pipelined_single_group_with_hook(tmp_path):
         rollout.close()
 
 
+def test_sigterm_graceful_preemption(tmp_path):
+    """SIGTERM mid-training finishes the cycle, writes a NUMBERED
+    checkpoint (so --auto-resume continues from the preemption point, not
+    from the last n_checkpoint multiple), and returns cleanly."""
+    import os
+    import signal
+    import threading
+
+    from pointcloud_rl_tpu.apis.train_rl import train_rl
+    from pointcloud_rl_tpu.env import Rollout
+
+    from tests.test_algorithms import _state_agent_cfg
+
+    env_cfg = dict(type="gym", env_name="reacher3d_easy-v0", obs_mode="state")
+    rollout = Rollout(env_cfg=env_cfg, num_procs=2, base_seed=0)
+    agent = build_agent(_state_agent_cfg(obs_dim=4, action_dim=3, batch_size=8))
+    replay = DeviceReplayMemory(capacity=512, seed=0)
+    timer = threading.Timer(3.0, lambda: os.kill(os.getpid(), signal.SIGTERM))
+    prev = signal.getsignal(signal.SIGTERM)
+    try:
+        timer.start()
+        train_rl(
+            agent, rollout, None, replay, work_dir=str(tmp_path),
+            total_steps=1_000_000, warm_steps=16, n_steps=8, n_updates=1,
+            n_log=1000, n_eval=-1, n_checkpoint=-1,
+        )
+    finally:
+        timer.cancel()
+        rollout.close()
+    assert signal.getsignal(signal.SIGTERM) is prev  # handler restored
+    models = sorted(os.listdir(str(tmp_path / "models")))
+    numbered = [m for m in models if m != "model_final"]
+    assert numbered, f"no numbered preemption checkpoint in {models}"
+    step = int(numbered[0].split("_")[1])
+    assert 16 <= step < 1_000_000
+
+
 def test_pipelined_episode_stats_across_groups():
     """Episode accounting through the pipelined (grouped) rollout path:
     every transition must land on the RIGHT worker's accumulator even when
