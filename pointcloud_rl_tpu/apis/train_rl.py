@@ -346,7 +346,7 @@ def train_rl(
             std_step = ckpt_trigger.standard(steps)
             path = save_checkpoint(agent.state_dict(), work_dir, std_step)
             logger.info(f"Saved checkpoint at step {std_step}: {path}")
-            if save_replay and replay is not None and hasattr(replay, "tail"):
+            if save_replay and save_replay > 0 and replay is not None and hasattr(replay, "tail"):
                 from ..env.replay import ReplayMemory as _HostReplay
 
                 snap = _HostReplay(capacity=min(save_replay, len(replay)))

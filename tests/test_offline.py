@@ -75,6 +75,28 @@ def test_replay_snapshot_on_checkpoint(tmp_path):
     assert len(mem2) == 16
 
 
+def test_replay_snapshot_disabled_by_nonpositive(tmp_path):
+    """save_replay<=0 disables snapshots (the n_eval=-1 convention); -1 must
+    not reach the snapshot allocator as a negative capacity."""
+    import os
+
+    from pointcloud_rl_tpu.env import Rollout
+
+    ro = Rollout(env_cfg=dict(type="gym", env_name="reacher3d_easy-v0", obs_mode="state"), num_procs=1, base_seed=0)
+    mem = ReplayMemory(capacity=64)
+    agent = build_agent(_state_agent_cfg(obs_dim=4, action_dim=3))
+    try:
+        train_rl(
+            agent=agent, rollout=ro, evaluator=None, replay=mem,
+            work_dir=str(tmp_path), total_steps=20, warm_steps=8,
+            n_steps=1, n_updates=1, n_log=10, n_checkpoint=10, save_replay=-1,
+        )
+    finally:
+        ro.close()
+    assert not os.path.exists(os.path.join(str(tmp_path), "models", "replay_latest.h5"))
+    assert os.path.exists(os.path.join(str(tmp_path), "models", "model_final"))
+
+
 def _trajectory_file(path, n_trajs, traj_len, obs_dim=4, act_dim=2, seed=0):
     import h5py
 
