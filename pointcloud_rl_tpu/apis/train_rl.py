@@ -116,13 +116,23 @@ def train_rl(
     lazy_vec_sum = None
     lazy_count = 0
 
-    # ---- warm-up with random actions (train_rl.py:207-228) ----------------
-    if warm_steps > 0 and resume_steps == 0 and not on_policy:
-        assert rollout is not None and replay is not None
-        rollout.forward_with_policy(None, warm_steps, replay)
-        steps += warm_steps
+    # ---- warm-up (train_rl.py:207-228) -------------------------------------
+    # Fresh runs prefill the buffer with random actions.  A COLD RESUME
+    # (checkpoint without a replay snapshot — the reference's only resume
+    # mode) must also prefill, or the first update cycles overfit a
+    # handful of fresh transitions; there the current policy collects the
+    # warm-up instead of random actions.
+    if warm_steps > 0 and not on_policy and replay is not None and len(replay) == 0:
+        assert rollout is not None
+        warm_pi = None if resume_steps == 0 else agent
+        warm = warm_steps
+        if warm_pi is not None:  # policy collection steps all envs together
+            warm = -(-warm_steps // rollout.num_envs) * rollout.num_envs
+        rollout.forward_with_policy(warm_pi, warm, replay)
+        steps += warm
         log_trigger.reset(steps)
-        logger.info(f"Warm-up finished: {warm_steps} random steps, buffer size {len(replay)}")
+        kind = "random" if warm_pi is None else "policy (cold resume)"
+        logger.info(f"Warm-up finished: {warm} {kind} steps, buffer size {len(replay)}")
         rollout.episode_stats.reset_current()
 
     # ---- graceful preemption (SURVEY §5.3) ---------------------------------

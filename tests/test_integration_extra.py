@@ -111,6 +111,33 @@ def test_pipelined_single_group_with_hook(tmp_path):
         rollout.close()
 
 
+def test_cold_resume_policy_warmup(tmp_path):
+    """Resuming from a checkpoint WITHOUT a replay snapshot (the
+    reference's only resume mode) must prefill the empty buffer — with the
+    current policy, rounded up to a multiple of num_envs — before updates
+    start sampling it."""
+    from pointcloud_rl_tpu.apis.train_rl import train_rl
+    from pointcloud_rl_tpu.env import Rollout
+
+    from tests.test_algorithms import _state_agent_cfg
+
+    env_cfg = dict(type="gym", env_name="reacher3d_easy-v0", obs_mode="state")
+    rollout = Rollout(env_cfg=env_cfg, num_procs=2, base_seed=0)
+    agent = build_agent(_state_agent_cfg(obs_dim=4, action_dim=3, batch_size=8))
+    replay = DeviceReplayMemory(capacity=256, seed=0)
+    try:
+        train_rl(
+            agent, rollout, None, replay, work_dir=str(tmp_path),
+            total_steps=120, resume_steps=100, warm_steps=5,  # 5 -> 6 (2 envs)
+            n_steps=2, n_updates=1, n_log=1000, n_eval=-1, n_checkpoint=-1,
+        )
+    finally:
+        rollout.close()
+    # warm 6 (policy) + remaining cycles of 2 up to total_steps
+    assert len(replay) >= 6
+    assert int(agent.train_state.updates) > 0
+
+
 def test_sigterm_graceful_preemption(tmp_path):
     """SIGTERM mid-training finishes the cycle, writes a NUMBERED
     checkpoint (so --auto-resume continues from the preemption point, not
