@@ -95,7 +95,6 @@ def train_rl(
 
         jax.profiler.start_trace(osp.join(work_dir, "profile"))
         profiler_active = True
-        profile_until = resume_steps + warm_steps + profile_steps
     log_trigger = EveryNSteps(n_log)
     eval_trigger = EveryNSteps(n_eval if n_eval and n_eval > 0 else None)
     ckpt_trigger = EveryNSteps(n_checkpoint if n_checkpoint and n_checkpoint > 0 else None)
@@ -116,45 +115,81 @@ def train_rl(
     lazy_vec_sum = None
     lazy_count = 0
 
-    # ---- warm-up (train_rl.py:207-228) -------------------------------------
-    # Fresh runs prefill the buffer with random actions.  A COLD RESUME
-    # (checkpoint without a replay snapshot — the reference's only resume
-    # mode) must also prefill, or the first update cycles overfit a
-    # handful of fresh transitions; there the current policy collects the
-    # warm-up instead of random actions.
-    if warm_steps > 0 and not on_policy and replay is not None and len(replay) == 0:
-        assert rollout is not None
-        warm_pi = None if resume_steps == 0 else agent
-        warm = warm_steps
-        if warm_pi is not None:  # policy collection steps all envs together
-            warm = -(-warm_steps // rollout.num_envs) * rollout.num_envs
-        rollout.forward_with_policy(warm_pi, warm, replay)
-        steps += warm
-        log_trigger.reset(steps)
-        kind = "random" if warm_pi is None else "policy (cold resume)"
-        logger.info(f"Warm-up finished: {warm} {kind} steps, buffer size {len(replay)}")
-        rollout.episode_stats.reset_current()
-
     # ---- graceful preemption (SURVEY §5.3) ---------------------------------
     # Schedulers and bounded runs (`timeout N python -m ...run_rl`) stop jobs
     # with SIGTERM; Python's default handler kills the process mid-cycle,
     # losing everything since the last n_checkpoint multiple.  Trap it into a
     # flag, finish the current cycle, save a NUMBERED checkpoint (model_final
     # auto-resumes at step 0 — find_checkpoint needs model_<step>), and exit
-    # cleanly so run_rl's finally still tears down workers.
+    # cleanly so run_rl's finally still tears down workers.  Installed BEFORE
+    # the warm-up so a preemption during a long cold-resume refill still
+    # checkpoints instead of dying handler-less.
     import signal as _signal
 
     stop_sig = {"num": None}
+    _term_installed = False
     _prev_term = None
     try:
         _prev_term = _signal.signal(
             _signal.SIGTERM, lambda signum, frame: stop_sig.__setitem__("num", signum)
         )
+        _term_installed = True
     except ValueError:  # not the main thread (embedded/test callers): skip
         pass
 
+    # ---- warm-up (train_rl.py:207-228) -------------------------------------
+    # Fresh runs prefill the buffer with random actions; those steps count
+    # into the step counter (reference ``steps = resume_steps + warm_steps``,
+    # train_rl.py:230-231).  A COLD RESUME (checkpoint without a replay
+    # snapshot — the reference's only resume mode) must also prefill, or the
+    # first update cycles overfit a handful of fresh transitions; there the
+    # current policy collects the refill.  That refill is buffer maintenance,
+    # NOT training progress: it must not advance ``steps`` or it starves the
+    # remaining total_steps budget (a resume with total-resume <= warm would
+    # perform zero gradient updates).  It is additionally capped at the
+    # remaining budget so a near-finished resume doesn't over-collect.
+    if warm_steps > 0 and not on_policy and replay is not None and len(replay) == 0:
+        assert rollout is not None
+        warm_pi = None if resume_steps == 0 else agent
+        warm = warm_steps
+        if warm_pi is not None:  # policy collection steps all envs together
+            warm = min(warm_steps, max(total_steps - resume_steps, 0))
+            warm = -(-warm // rollout.num_envs) * rollout.num_envs
+        if warm > 0:
+            rollout.forward_with_policy(warm_pi, warm, replay)
+            if warm_pi is None:
+                steps += warm  # fresh-run warm-up consumes budget (reference parity)
+                log_trigger.reset(steps)
+            kind = "random" if warm_pi is None else "policy refill (cold resume, off-budget)"
+            logger.info(f"Warm-up finished: {warm} {kind} steps, buffer size {len(replay)}")
+            rollout.episode_stats.reset_current()
+    if profiler_active:
+        # computed from the ACTUAL post-warm-up step count, so the profiled
+        # window covers profile_steps of main-loop progress exactly
+        profile_until = steps + profile_steps
+
     # ---- main loop ---------------------------------------------------------
-    while steps < total_steps and stop_sig["num"] is None:
+    # Multi-host: stop_sig is per-host; staggered SIGTERM delivery must not
+    # let one host exit the loop a cycle before its peers or the stragglers
+    # deadlock in the symmetric allreduce_stats collective below.  Agree on
+    # the flag once per cycle.
+    def _stop_requested() -> bool:
+        if stop_sig["num"] is None and not _stop_agreed["any"]:
+            local = 0.0
+        else:
+            local = 1.0
+        import jax
+
+        if jax.process_count() > 1:
+            from ..parallel import allreduce_stats
+
+            local = allreduce_stats({"stop": local}, op="max")["stop"]
+        if local > 0:
+            _stop_agreed["any"] = True
+        return _stop_agreed["any"]
+
+    _stop_agreed = {"any": False}
+    while steps < total_steps and not _stop_requested():
         if watchdog is not None:
             watchdog.pet()
         iter_t0 = time.monotonic()
@@ -368,18 +403,22 @@ def train_rl(
                 os.replace(dst + ".tmp", dst)
                 logger.info(f"Saved replay snapshot ({len(snap)} transitions)")
 
-    if _prev_term is not None:
-        _signal.signal(_signal.SIGTERM, _prev_term)
     if watchdog is not None:
         watchdog.stop()
     if profiler_active:
         import jax
 
         jax.profiler.stop_trace()
-    if is_lead and stop_sig["num"] is not None:
+    preempted = _stop_agreed["any"] and steps < total_steps
+    if is_lead and preempted:
         # Preempted: a numbered checkpoint so --auto-resume continues HERE.
         path = save_checkpoint(agent.state_dict(), work_dir, steps)
         logger.info(f"SIGTERM at {steps} steps; preemption checkpoint: {path}")
     if is_lead:
         path = save_checkpoint(agent.state_dict(), work_dir, steps, name="model_final")
         logger.info(f"Training finished at {steps} steps; final checkpoint: {path}")
+    # Restore the previous disposition only AFTER the preemption/final saves:
+    # schedulers and `timeout -k` commonly deliver a second TERM, which must
+    # keep hitting the benign flag-setter until the checkpoints are on disk.
+    if _term_installed:
+        _signal.signal(_signal.SIGTERM, _prev_term if _prev_term is not None else _signal.SIG_DFL)

@@ -138,6 +138,46 @@ def test_cold_resume_policy_warmup(tmp_path):
     assert int(agent.train_state.updates) > 0
 
 
+def test_cold_resume_warmup_does_not_consume_budget(tmp_path):
+    """Regression (round-4 dryrun failure): a cold resume whose remaining
+    budget is SMALLER than warm_steps must still perform gradient updates
+    and log steps past the checkpoint — the policy refill is buffer
+    maintenance and must not advance the global step counter
+    (reference pyrl/apis/train_rl.py:207-231 never counts warm-up into the
+    resumed counter)."""
+    from pointcloud_rl_tpu.apis.train_rl import train_rl
+    from pointcloud_rl_tpu.env import Rollout
+
+    from tests.test_algorithms import _state_agent_cfg
+
+    env_cfg = dict(type="gym", env_name="reacher3d_easy-v0", obs_mode="state")
+    rollout = Rollout(env_cfg=env_cfg, num_procs=2, base_seed=0)
+    agent = build_agent(_state_agent_cfg(obs_dim=4, action_dim=3, batch_size=8))
+    replay = DeviceReplayMemory(capacity=256, seed=0)
+    logged_steps = []
+
+    class _Cap:
+        def log(self, metrics, step=None, tag=None):
+            logged_steps.append(step)
+
+    try:
+        # remaining budget (48-32=16) <= warm_steps (16): round-4 code did
+        # zero updates and exited at steps==48 without entering the loop.
+        train_rl(
+            agent, rollout, None, replay, work_dir=str(tmp_path),
+            total_steps=48, resume_steps=32, warm_steps=16,
+            n_steps=2, n_updates=1, n_log=2, n_eval=-1, n_checkpoint=-1,
+            exp_logger=_Cap(),
+        )
+    finally:
+        rollout.close()
+    assert int(agent.train_state.updates) == 8, "resumed run must perform (48-32)/2 updates"
+    assert logged_steps and max(logged_steps) == 48
+    assert min(logged_steps) > 32, "logged steps must continue past the checkpoint step"
+    # refill capped at the remaining budget (16, already a num_envs multiple)
+    assert len(replay) == 16 + 16
+
+
 def test_sigterm_graceful_preemption(tmp_path):
     """SIGTERM mid-training finishes the cycle, writes a NUMBERED
     checkpoint (so --auto-resume continues from the preemption point, not

@@ -17,9 +17,14 @@ cd "$(dirname "$0")/.."
 CFG="${1:?usage: chain_run.sh <config.py> <work_dir> <seed> [chunk_seconds] [-- extra args]}"
 WORK="${2:?work_dir}"
 SEED="${3:?seed}"
-CHUNK="${4:-2400}"
 shift 3
-[ $# -gt 0 ] && shift   # optional chunk_seconds
+# chunk_seconds is optional: only consume $4 when it is numeric, so
+# `chain_run.sh cfg wd seed -- extra` works as documented.
+CHUNK=2400
+if [[ "${1:-}" =~ ^[0-9]+$ ]]; then
+  CHUNK="$1"
+  shift
+fi
 [ "${1:-}" == "--" ] && shift
 
 while true; do
@@ -30,6 +35,20 @@ while true; do
     echo "chain_run: training finished (run_rl exited 0)"
     break
   fi
-  echo "chain_run: chunk ended (exit ${status}); resuming in 5 s"
-  sleep 5
+  # 124 = timeout expiry (SIGTERM), 143/137 = external TERM/KILL: these are
+  # preemptions — resume.  Anything else is a permanent error (bad config,
+  # import failure): retry a bounded number of times, then give up, so a
+  # typo doesn't loop forever.
+  if [ "${status}" -eq 124 ] || [ "${status}" -eq 143 ] || [ "${status}" -eq 137 ]; then
+    echo "chain_run: chunk preempted (exit ${status}); resuming in 5 s"
+    sleep 5
+  else
+    FAILS=$(( ${FAILS:-0} + 1 ))
+    if [ "${FAILS}" -ge 3 ]; then
+      echo "chain_run: run_rl failed ${FAILS} times with non-preemption exit ${status}; giving up"
+      exit "${status}"
+    fi
+    echo "chain_run: run_rl failed (exit ${status}, attempt ${FAILS}/3); retrying in 15 s"
+    sleep 15
+  fi
 done
