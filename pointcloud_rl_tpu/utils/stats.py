@@ -120,6 +120,7 @@ class EpisodicStatistics:
         self.history_lens: List[int] = []
         self.history_infos: Dict[str, List[float]] = defaultdict(list)
         self.num_episodes = 0
+        self._last_stats: Optional[Dict[str, float]] = None
 
     def _accumulate_info(self, worker: int, infos: Optional[Dict[str, Any]], row: int) -> None:
         if not self.info_keys_mode or not infos:
@@ -190,6 +191,16 @@ class EpisodicStatistics:
         self.current_infos = [dict() for _ in range(self.num_workers)]
 
     def get_stats(self) -> Dict[str, float]:
+        if not self.history_rewards and self._last_stats is not None:
+            # Synchronized-episode envs (e.g. walker's fixed 1000-step
+            # episodes across all workers) complete episodes only every
+            # episode_len * num_workers global steps; log windows between
+            # completions would otherwise read 0.0 (the reference never logs
+            # such windows — it gates its log boundary on >= print_steps
+            # completions, pyrl/apis/train_rl.py:270).  Carry the last
+            # completed-window values forward, with num_episodes=0 marking
+            # the window as stale.
+            return {**self._last_stats, "env/num_episodes": 0.0}
         r = np.asarray(self.history_rewards if self.history_rewards else [0.0])
         l = np.asarray(self.history_lens if self.history_lens else [0])
         stats = {
@@ -209,6 +220,8 @@ class EpisodicStatistics:
             if log_mode == "all":
                 stats[f"{out_key}_min"] = float(v.min())
                 stats[f"{out_key}_max"] = float(v.max())
+        if self.history_rewards:
+            self._last_stats = dict(stats)
         return stats
 
 

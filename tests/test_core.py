@@ -147,6 +147,38 @@ def test_episodic_statistics():
     assert stats["env/rewards_min"] == 2.0
 
 
+def test_episodic_statistics_carry_forward_synchronized_episodes():
+    """Synchronized fixed-length episodes (walker: 1000 steps, all workers
+    reset together) complete only every episode_len * num_workers global
+    steps; with n_log=1000 most log windows contain NO completion.  Those
+    windows must carry the last completed-window stats forward (marked
+    stale via num_episodes=0) instead of logging 0.0 (round-4 weak #4:
+    metrics.csv read env/rewards_mean 0.0 for ~90% of rows)."""
+    num_workers, ep_len, n_log = 4, 1000, 1000
+    es = EpisodicStatistics(num_workers)
+    logged = []
+    # 3 episodes' worth of synchronized stepping, logging every n_log
+    # GLOBAL steps (num_workers env steps per push)
+    for step in range(3 * ep_len):
+        done = (step + 1) % ep_len == 0
+        es.push(np.full(num_workers, 0.5), np.full(num_workers, done))
+        if ((step + 1) * num_workers) % n_log == 0:
+            logged.append(es.get_stats())
+            es.reset_history()
+    assert len(logged) == 12
+    fresh = [s for s in logged if s["env/num_episodes"] > 0]
+    stale = [s for s in logged if s["env/num_episodes"] == 0]
+    assert len(fresh) == 3  # one real completion window per episode
+    # the first windows precede any completion: zeros are correct there
+    lead_in = [s for s in stale if s["env/rewards_mean"] == 0.0]
+    assert len(lead_in) == 3  # only the pre-first-episode windows
+    # every window after the first completion carries the true value
+    first_fresh = logged.index(fresh[0])
+    for s in logged[first_fresh:]:
+        assert s["env/rewards_mean"] == 0.5 * ep_len
+        assert s["env/episode_length"] == ep_len
+
+
 def test_split_num():
     assert split_num(10, 3) == [4, 3, 3]
     assert sum(split_num(17, 5)) == 17
