@@ -151,6 +151,63 @@ def build_agent():
     return _build(cfg)
 
 
+def build_drq_agent():
+    """The DrQ/pn_shift update shape (reference configs/mfrl/drq/dm_control/
+    pn_shift.py): num_aug=2 GlobalRotScaleTrans inside the jitted update —
+    the K-fold repeat is the dominant extra FLOPs in half the reference's
+    configs, so its update rate is tracked alongside the SAC headline
+    (VERDICT r4 #7: an aug-path regression must be visible in BENCH_r*)."""
+    from __graft_entry__ import _agent_cfg
+
+    from pointcloud_rl_tpu.algorithms import build_agent as _build
+
+    cfg = _agent_cfg(N_POINTS, ACTION_DIM, fused=True)
+    cfg["batch_size"] = BATCH
+    cfg["bf16"] = True
+    cfg["stale_actor_feature"] = True
+    cfg.update(
+        type="DrQ", num_aug=2, svea=False,
+        obs_aug=dict(type="GlobalRotScaleTrans", main_key="xyz", req_keys=["xyz"],
+                     rot_range=None, scale_ratio_range=None,
+                     translation_range=[0.04, 0, 0.04], shift_height=True),
+    )
+    # DrQ's in-update point aug needs the raw xyz channel layout, so no
+    # pack_features (mirrors configs/mfrl/drq/dm_control/pn_shift_tpu.py)
+    cfg["obs_transfer_cfg"] = dict(pos_encoding_on_device=True, pack_dtype="float16")
+    return _build(cfg)
+
+
+def drq_device_memory(capacity=2048, fill=1024):
+    from __graft_entry__ import _example_batch
+
+    from pointcloud_rl_tpu.env import DeviceReplayMemory
+
+    mem = DeviceReplayMemory(
+        capacity=capacity, seed=0,
+        keys=["obs", "next_obs", "actions", "rewards", "dones", "episode_dones"],
+        transfer_cfg=dict(drop_subkeys=("pos_encoding",)),
+    )
+    mem.push_batch(_example_batch(fill, N_POINTS, ACTION_DIM, seed=0))
+    return mem
+
+
+def measure_drq_rate(drq, mem, scan=16):
+    """Scanned DrQ updates/s (aug happens inside the jitted scan body)."""
+    np.asarray(drq.update_parameters_scan(mem, scan))  # compile + warm
+    best = 0.0
+    for _ in range(2):
+        t0 = time.monotonic()
+        loops = 4
+        vec = None
+        for _ in range(loops):
+            v = drq.update_parameters_scan(mem, scan)
+            vec = v if vec is None else vec + v
+        vec = np.asarray(vec)
+        assert np.isfinite(vec).all()
+        best = max(best, loops * scan / (time.monotonic() - t0))
+    return best
+
+
 def device_memory(capacity=4096, fill=2048):
     from __graft_entry__ import _example_batch
 
@@ -395,7 +452,17 @@ def main() -> None:
     grad_mfu = flops_per_update * grad_rate / PEAK_FLOPS
 
     flops_note = f"{flops_per_update/1e9:.1f} GFLOP/update"
-    _stage(f"cost analysis done ({flops_note}); building rollout workers")
+    _stage(f"cost analysis done ({flops_note}); measuring DrQ aug-path updates")
+    drq_rate = float("nan")
+    try:
+        drq = build_drq_agent()
+        drq_mem = drq_device_memory()
+        drq_rate = measure_drq_rate(drq, drq_mem)
+        del drq, drq_mem  # free the second agent's HBM before the rollout phase
+        _stage(f"drq (num_aug=2 shift) {drq_rate:.1f} updates/s")
+    except Exception as e:  # never let the tracked arm sink the headline
+        _stage(f"drq arm failed ({type(e).__name__}: {e}) — recording NaN")
+    _stage("building rollout workers")
     rollout, env_name = make_rollout()
     try:
         env_rate = measure_env_rate(rollout)
@@ -441,6 +508,7 @@ def main() -> None:
     print(
         f"# grad-only: {grad_rate:.1f} step/s (batch {BATCH}, {N_POINTS} pts, HBM replay, "
         f"scan {GRAD_SCAN}/dispatch, {flops_per_update/1e9:.2f} GFLOP/update, MFU {grad_mfu*100:.2f}%) | "
+        f"drq_updates_per_sec: {drq_rate:.1f} (num_aug=2 GlobalRotScaleTrans in-jit, batch {BATCH}) | "
         f"env-only ({env_name}, {NUM_PROCS} workers on 1 host core): {env_rate:.1f} step/s | "
         f"combined 1 env + 1 grad: {combined:.1f} step/s (median of windows {window_rates}, "
         f"update MFU {mfu*100:.2f}%), "
@@ -456,6 +524,8 @@ def main() -> None:
         "unit": "steps/s",
         "vs_baseline": round(combined / REFERENCE_COMBINED_STEPS_PER_SEC, 2),
         "windows": window_rates,
+        "grad_only_updates_per_sec": round(grad_rate, 2),
+        "drq_updates_per_sec": round(drq_rate, 2) if drq_rate == drq_rate else None,
     }))
 
 

@@ -39,6 +39,50 @@ def save_eval_statistics(work_dir: Optional[str], lens, rewards, finishes, logge
                 writer.writerow([int(l), float(r), int(fin)])
 
 
+class VideoWriter:
+    """mp4 episode recorder (reference evaluation.py:139-144 uses imageio
+    FFMPEG).  imageio's FFMPEG plugin needs the imageio-ffmpeg wheel; when
+    absent (as in this image) fall back to OpenCV's bundled mp4v encoder —
+    same .mp4 artifact, no extra dependency.  Frames are RGB uint8 HxWx3."""
+
+    def __init__(self, path: str, fps: int = 20):
+        self._path = path
+        self._fps = fps
+        self._backend = None
+        self._w = None
+        try:
+            import imageio
+
+            self._w = imageio.get_writer(path, fps=fps, format="FFMPEG", codec="libx264")
+            self._backend = "imageio"
+        except Exception:
+            import cv2  # lazy writer: cv2 needs the frame size up front
+
+            self._cv2 = cv2
+            self._backend = "cv2"
+
+    def append_data(self, frame) -> None:
+        frame = np.asarray(frame)
+        if frame.ndim == 2:
+            frame = np.repeat(frame[..., None], 3, axis=-1)
+        if self._backend == "imageio":
+            self._w.append_data(frame)
+            return
+        if self._w is None:
+            h, w = frame.shape[:2]
+            self._w = self._cv2.VideoWriter(
+                self._path, self._cv2.VideoWriter_fourcc(*"mp4v"), float(self._fps), (w, h)
+            )
+            if not self._w.isOpened():
+                raise RuntimeError(f"cv2.VideoWriter failed to open {self._path}")
+        self._w.write(frame[..., ::-1])  # RGB -> BGR
+
+    def close(self) -> None:
+        if self._w is not None:
+            (self._w.close if self._backend == "imageio" else self._w.release)()
+            self._w = None
+
+
 @EVALUATIONS.register_module()
 class Evaluation:
     def __init__(
@@ -113,12 +157,8 @@ class Evaluation:
         def _start_video(slot, episode_idx):
             if not self.save_video or work_dir is None:
                 return None
-            import imageio
-
             os.makedirs(work_dir, exist_ok=True)
-            return imageio.get_writer(
-                osp.join(work_dir, f"episode_{episode_idx}.mp4"), fps=20, format="FFMPEG", codec="libx264"
-            )
+            return VideoWriter(osp.join(work_dir, f"episode_{episode_idx}.mp4"), fps=20)
 
         # episode index currently being run in each env slot; slots beyond
         # ``num`` stay idle (None) so num < num_envs never over-indexes

@@ -228,6 +228,51 @@ def test_evaluation_slot_reuse(tmp_path):
         ev.close()
 
 
+def test_evaluation_writes_mp4_videos(tmp_path):
+    """save_video=True writes a real, nonzero mp4 per episode (reference
+    evaluation.py:139-144,196-199).  The image lacks imageio's FFMPEG
+    plugin, so this also covers the cv2 mp4v fallback in VideoWriter."""
+    ev = Evaluation(env_cfg=DIST_CFG, num_procs=1, num=2, seed=5, save_video=True)
+    try:
+        pi = _CountingPolicy()
+        ev.run(pi, num=2, work_dir=str(tmp_path / "eval"))
+    finally:
+        ev.close()
+    import os as _os
+
+    vids = sorted((tmp_path / "eval").glob("episode_*.mp4"))
+    assert [v.name for v in vids] == ["episode_0.mp4", "episode_1.mp4"]
+    for v in vids:
+        assert _os.path.getsize(v) > 100, f"{v} is empty"
+
+
+def test_video_writer_frames_roundtrip(tmp_path):
+    """VideoWriter encodes RGB frames into a decodable mp4 (cv2 can read
+    back what it wrote; frame count and size must survive)."""
+    from pointcloud_rl_tpu.env.evaluation import VideoWriter
+
+    path = str(tmp_path / "clip.mp4")
+    w = VideoWriter(path, fps=10)
+    for i in range(6):
+        frame = np.zeros((48, 64, 3), np.uint8)
+        frame[:, : 8 * (i + 1)] = [255, 0, 0]
+        w.append_data(frame)
+    w.close()
+    import cv2
+
+    cap = cv2.VideoCapture(path)
+    assert cap.isOpened()
+    n = 0
+    while True:
+        ok, frame = cap.read()
+        if not ok:
+            break
+        assert frame.shape == (48, 64, 3)
+        n += 1
+    cap.release()
+    assert n == 6
+
+
 def test_sample_and_pad():
     idx = sample_and_pad(10, 4, np.random.RandomState(0))
     assert len(idx) == 4 and idx.max() < 10

@@ -112,6 +112,80 @@ def test_cli_data_parallel_training(tmp_path):
     assert os.path.exists(os.path.join(str(tmp_path), "0", "models", "model_final"))
 
 
+@pytest.mark.slow
+def test_preemption_and_chain_resume_under_mesh(tmp_path):
+    """VERDICT r4 #10: SIGTERM mid-cycle on a data-parallel mesh writes a
+    numbered checkpoint, and a chained --auto-resume continuation (the
+    chain_run.sh workflow) reaches total_steps — previously covered only
+    single-device."""
+    import os
+    import signal
+    import threading
+
+    from pointcloud_rl_tpu.apis.run_rl import main
+
+    common = [
+        "configs/mfrl/sac/dm_control/pn_motivating.py",
+        "--work-dir", str(tmp_path), "--seed", "0",
+        "--num-devices", "2",
+        "--cfg-options",
+        "agent_cfg.batch_size=8",
+        "agent_cfg.actor_cfg.nn_cfg.visual_nn_cfg.mlp_spec=[16,16,32]",
+        "agent_cfg.actor_cfg.nn_cfg.visual_nn_cfg.out_channels=16",
+        "agent_cfg.actor_cfg.nn_cfg.mlp_cfg.mlp_spec=[16,32,'action_shape*2']",
+        "agent_cfg.critic_cfg.nn_cfg.mlp_cfg.mlp_spec=['16+action_shape',32,1]",
+        "train_cfg.warm_steps=8", "rollout_cfg.num_procs=2",
+        "train_cfg.n_log=8", "train_cfg.n_checkpoint=-1", "train_cfg.n_eval=-1",
+        "eval_cfg.save_video=False",
+    ]
+    # Phase 1: SIGTERM lands mid-loop — the watcher waits for the FIRST
+    # logged metrics row (proof the trap is installed and cycles are
+    # running; a fixed timer could fire during compile, where the default
+    # handler would kill pytest itself).
+    metrics_path = os.path.join(str(tmp_path), "0", "logs", "metrics.csv")
+    stop_watch = threading.Event()
+
+    def _kill_when_training():
+        import time as _t
+
+        deadline = _t.monotonic() + 300
+        while _t.monotonic() < deadline and not stop_watch.is_set():
+            if os.path.exists(metrics_path):
+                _t.sleep(0.5)
+                os.kill(os.getpid(), signal.SIGTERM)
+                return
+            _t.sleep(0.2)
+
+    watcher = threading.Thread(target=_kill_when_training, daemon=True)
+    watcher.start()
+    try:
+        main(common + ["train_cfg.total_steps=1000000"])
+    finally:
+        stop_watch.set()
+        watcher.join(timeout=5)
+    models = os.path.join(str(tmp_path), "0", "models")
+    numbered = [m for m in os.listdir(models) if m.startswith("model_") and m != "model_final"]
+    assert numbered, f"no numbered preemption checkpoint in {os.listdir(models)}"
+    ckpt_step = max(int(m.split("_")[1]) for m in numbered)
+    assert 8 <= ckpt_step < 1_000_000
+
+    # Phase 2: chained continuation from the preemption point to a real total
+    total = ckpt_step + 8
+    main(common + [f"train_cfg.total_steps={total}", "--auto-resume"])
+    final_numbered = [int(m.split("_")[1]) for m in os.listdir(models)
+                      if m.startswith("model_") and m != "model_final"]
+    assert os.path.exists(os.path.join(models, "model_final"))
+    assert max(final_numbered) >= ckpt_step
+    # the resumed run progressed past the checkpoint step
+    import csv
+
+    with open(os.path.join(str(tmp_path), "0", "logs", "metrics.csv")) as f:
+        steps = [int(float(r["step"])) for r in csv.DictReader(f) if r.get("step")]
+    # n_log boundaries may not land exactly on `total`; past the preemption
+    # point proves the chained continuation actually trained
+    assert max(steps) > ckpt_step
+
+
 def test_dp_device_replay_matches_single_device():
     """DP x DeviceReplayMemory: the mesh-placed fused sample+update (and its
     scanned variant) must match the single-device storage path numerically —
