@@ -148,3 +148,25 @@ def test_state_obs_mode_extras():
         assert len(env.catalog) == 4
     finally:
         env.close()
+
+
+def test_robot_init_range_curriculum():
+    """robot_init_range shrinks the robot spawn distance (reach-curriculum
+    knob; reference default 0.8-1.2 m per push_chair.py:120-142 kept)."""
+    from pointcloud_rl_tpu.env.chair_task import PushChairEnv
+
+    near = PushChairEnv(split="train", obs_mode="state",
+                        robot_init_range=(0.55, 0.65), image_hw=(32, 56))
+    try:
+        dists = []
+        for lvl in range(4):
+            near.reset(level=lvl)
+            d = np.linalg.norm(near.agent.base_link_pos()[:2]
+                               - near.data.xpos[near._chair_body][:2])
+            dists.append(float(d))
+        # base->chair root distance stays near the spawn radius (the range
+        # is collision-free: nearer spawns intersect the caster star and
+        # launch the chair during settling — see chair_task.reset)
+        assert max(dists) < 0.8, dists
+    finally:
+        near.close()

@@ -18,6 +18,10 @@ import numpy as np
 
 sys.path.insert(0, "/root/repo")
 
+from pointcloud_rl_tpu.utils import enable_compilation_cache  # noqa: E402
+
+enable_compilation_cache()  # persist relay compiles (cold fused scan ~5 min)
+
 from bench import (ACTION_DIM, BATCH, N_POINTS, NUM_PROCS, build_agent,
                    device_memory, make_rollout)  # noqa: E402
 

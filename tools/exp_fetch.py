@@ -29,6 +29,10 @@ import numpy as np
 sys.path.insert(0, ".")
 import bench  # noqa: E402
 
+from pointcloud_rl_tpu.utils import enable_compilation_cache  # noqa: E402
+
+enable_compilation_cache()  # persist relay compiles (cold fused scan ~5 min)
+
 
 def fetch_ms(agent, obs, reps=20):
     np.asarray(agent.forward_async(obs, mode="explore"))  # compile/warm

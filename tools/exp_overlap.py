@@ -28,6 +28,10 @@ import numpy as np
 sys.path.insert(0, ".")
 import bench  # noqa: E402
 
+from pointcloud_rl_tpu.utils import enable_compilation_cache  # noqa: E402
+
+enable_compilation_cache()  # persist relay compiles (cold fused scan ~5 min)
+
 
 def audit(agent, rollout, mem, reps=20):
     """Measure the relay primitives the combined loop is built from."""

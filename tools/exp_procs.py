@@ -23,6 +23,10 @@ import numpy as np
 sys.path.insert(0, ".")
 import bench  # noqa: E402
 
+from pointcloud_rl_tpu.utils import enable_compilation_cache  # noqa: E402
+
+enable_compilation_cache()  # persist relay compiles (cold fused scan ~5 min)
+
 
 def main():
     arms = [int(a) for a in sys.argv[1:]] or [16, 24, 32]
