@@ -111,6 +111,14 @@ PEAK_FLOPS = 197e12
 # (pack) updates/s; combined 139 -> 146 steps/s.
 TRANSFER = _os.environ.get("PCRL_BENCH_TRANSFER", "pack")
 EAGER_PUSH = _os.environ.get("PCRL_BENCH_EAGER", "1") == "1"
+# PCRL_BENCH_LAG=1 (default): SEED-RL-style pipelined acting (rollout
+# action_lag) — each group-step applies the action dispatched at the
+# previous step, so the blocked device->host action fetch (~25-48 ms on
+# the tunneled relay, THE binding term of the combined loop per the relay
+# audit) overlaps env simulation instead of serializing before it.  The
+# behavior policy is pi∘(one-step delay): off-policy-sound (the replay
+# stores the actions actually applied); set 0 for exact reference timing.
+ACTION_LAG = int(_os.environ.get("PCRL_BENCH_LAG", "1"))
 # PCRL_BENCH_SERVER_OBS=1: workers emit raw render products and ONE jitted
 # program per batch unprojects+downsamples them (env/server_env.py, the
 # reference ServerBasedVectorEnv analogue) instead of per-worker host
@@ -171,8 +179,9 @@ def build_drq_agent():
                      rot_range=None, scale_ratio_range=None,
                      translation_range=[0.04, 0, 0.04], shift_height=True),
     )
-    # DrQ's in-update point aug needs the raw xyz channel layout, so no
-    # pack_features (mirrors configs/mfrl/drq/dm_control/pn_shift_tpu.py)
+    # pack_features storage: the shift aug is xyz-only so DrQ augments the
+    # packed tensor's xyz channels in-jit (apply_augs_to_packed; mirrors
+    # configs/mfrl/drq/dm_control/pn_shift_tpu.py — 81 -> ~200 updates/s)
     cfg["obs_transfer_cfg"] = dict(pos_encoding_on_device=True, pack_dtype="float16")
     return _build(cfg)
 
@@ -185,7 +194,7 @@ def drq_device_memory(capacity=2048, fill=1024):
     mem = DeviceReplayMemory(
         capacity=capacity, seed=0,
         keys=["obs", "next_obs", "actions", "rewards", "dones", "episode_dones"],
-        transfer_cfg=dict(drop_subkeys=("pos_encoding",)),
+        transfer_cfg=dict(pack_features=True),
     )
     mem.push_batch(_example_batch(fill, N_POINTS, ACTION_DIM, seed=0))
     return mem
@@ -278,12 +287,14 @@ def make_rollout():
         env_cfg["server_obs"] = True
     try:
         return Rollout(env_cfg=env_cfg, num_procs=NUM_PROCS, base_seed=0,
-                       pipeline_groups=PIPELINE_GROUPS, eager_push=EAGER_PUSH), "dmc_walker_walk"
+                       pipeline_groups=PIPELINE_GROUPS, eager_push=EAGER_PUSH,
+                       action_lag=ACTION_LAG), "dmc_walker_walk"
     except Exception as e:
         print(f"# walker env unavailable ({type(e).__name__}: {e}); falling back to DistEnv", file=sys.stderr)
         env_cfg = dict(type="gym", env_name="reacher3d_easy-v0", obs_mode="pointcloud")
         return Rollout(env_cfg=env_cfg, num_procs=NUM_PROCS, base_seed=0,
-                       pipeline_groups=PIPELINE_GROUPS, eager_push=EAGER_PUSH), "dist_env"
+                       pipeline_groups=PIPELINE_GROUPS, eager_push=EAGER_PUSH,
+                       action_lag=ACTION_LAG), "dist_env"
 
 
 def measure_env_rate(rollout, steps=256):

@@ -6,15 +6,18 @@
 # Pallas PointNet body, no in-training evals (checkpoints eval separately
 # via --evaluation).
 #
-# NOTE: no replay pack_features here — DrQ's in-update point aug needs the
-# raw xyz channel layout (see env/device_replay.py), so storage stays the
-# base config's drop_subkeys form.
+# Replay stores the glued bf16 model-input tensor (pack_features): the
+# shift aug is xyz-only, so DrQ applies it directly to the packed tensor's
+# xyz channel block in-jit (ops/augment.py:apply_augs_to_packed — measured
+# 81 -> ~200 updates/s on v5e at walker shapes vs raw-dict storage).
 _base_ = ["./pn_shift.py"]
 
 agent_cfg = dict(
     actor_cfg=dict(nn_cfg=dict(visual_nn_cfg=dict(fused=True))),
     obs_transfer_cfg=dict(pos_encoding_on_device=True, pack_dtype="float16"),
 )
+
+replay_cfg = dict(transfer_cfg=dict(_delete_=True, pack_features=True))
 
 rollout_cfg = dict(num_procs=16, pipeline_groups=1)
 

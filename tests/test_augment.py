@@ -217,3 +217,39 @@ def test_downsample_and_filter_jits():
     jitted = jax.jit(lambda k, d: aug(k, d))
     out = jitted(jax.random.PRNGKey(0), data)
     assert out["xyz"].shape == (2, 3, 8)
+
+
+def test_apply_augs_to_packed_matches_dict_path():
+    """Packed-storage aug fast path (DrQ x pack_features): transforming the
+    xyz channel block of the glued model-input tensor must equal running the
+    same stack on the raw dict (identical rng folding), with every non-xyz
+    channel untouched."""
+    from pointcloud_rl_tpu.algorithms.obs_transfer import pack_device_features
+    from pointcloud_rl_tpu.ops.augment import apply_augs_to_packed, augs_are_xyz_only
+
+    rs = np.random.RandomState(0)
+    B, N, F = 4, 12, 3
+    obs = {
+        "xyz": rs.randn(B, 3, N).astype(np.float32),
+        "rgb": rs.randint(0, 255, (B, 3, N)).astype(np.uint8),
+        "pos_encoding": np.repeat(np.eye(F, dtype=np.float32), N // F, -1)[None].repeat(B, 0),
+    }
+    aug = build_data_augmentations(dict(
+        type="GlobalRotScaleTrans", main_key="xyz", req_keys=["xyz"],
+        rot_range=[-0.5, 0.5], scale_ratio_range=[0.9, 1.1],
+        translation_range=[0.04, 0, 0.04], shift_height=True))
+    assert augs_are_xyz_only(aug)
+    packed = pack_device_features(obs, dtype=jnp.float32)  # f32: exact compare
+    key = jax.random.PRNGKey(7)
+    out_packed = apply_augs_to_packed(aug, key, packed)["pcd"]
+    out_dict = aug(key, obs)
+    np.testing.assert_allclose(
+        np.swapaxes(np.asarray(out_packed[..., :3]), -1, -2),
+        np.asarray(out_dict["xyz"]), rtol=1e-6, atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(out_packed[..., 3:]),
+                                  np.asarray(packed["pcd"][..., 3:]))
+    # rgb-touching stacks must NOT take the packed path
+    cj = build_data_augmentations(dict(type="ColorJitterPoints", main_key="rgb",
+                                       req_keys=["rgb"], brightness=0.4,
+                                       contrast=0.4, saturation=0.4, hue=0.5))
+    assert not augs_are_xyz_only(cj)

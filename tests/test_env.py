@@ -381,3 +381,67 @@ def test_vec_env_thread_matches_subprocess():
     finally:
         a.close()
         b.close()
+
+
+class _AsyncSpyPolicy:
+    """forward_async fake for the pipelined path: returns a future-like
+    wrapper whose value encodes WHICH obs the policy saw (the xyz mean), so
+    tests can assert the applied-action <-> obs pairing."""
+
+    class _Fut:
+        def __init__(self, val):
+            self.val = val
+
+        def is_ready(self):
+            return True
+
+        def __array__(self, dtype=None, copy=None):
+            return self.val
+
+    def __init__(self, action_dim=3):
+        self.action_dim = action_dim
+        self.dispatched = []
+
+    def forward_async(self, obs, mode="explore"):
+        xyz = obs["xyz"] if isinstance(obs, dict) else obs
+        tag = np.asarray(xyz, np.float64).reshape(len(xyz), -1).mean(axis=1)
+        self.dispatched.append(tag.copy())
+        act = np.zeros((len(xyz), self.action_dim), np.float32)
+        act[:, 0] = np.clip(tag, -1, 1)  # action channel 0 fingerprints the obs
+        return self._Fut(act)
+
+    def __call__(self, obs, mode="explore"):
+        return np.asarray(self.forward_async(obs, mode=mode))
+
+
+def test_rollout_action_lag_applies_previous_dispatch():
+    """action_lag=1 (SEED-RL-style pipelined acting): the action applied at
+    group-step t is the one dispatched at t-1 — i.e. pi(o_{t-2}) relative to
+    the stepped obs — and the pending future persists across collection
+    calls (training collects once per cycle)."""
+    from pointcloud_rl_tpu.env import Rollout
+    from pointcloud_rl_tpu.env.replay import ReplayMemory
+
+    env_cfg = dict(type="gym", env_name="FakeManipulation-v0", obs_mode="pointcloud",
+                   n_points=24, n_raw_points=100, horizon=64)
+    ro = Rollout(env_cfg=env_cfg, num_procs=2, base_seed=0,
+                 pipeline_groups=1, action_lag=1)
+    try:
+        pi = _AsyncSpyPolicy(action_dim=ro.vec_env.single_action_space.shape[0])
+        mem = ReplayMemory(capacity=64)
+        for _ in range(4):  # four separate collection calls of 1 step/env
+            ro.forward_with_policy(pi, 2, mem)
+        acts = mem.get_all()["actions"][:, 0]  # fingerprint channel
+        disp = [np.clip(d, -1, 1) for d in pi.dispatched]
+        # 4 calls x 1 group-step each -> 4 dispatches; 2 envs per step
+        assert len(disp) == 4 and len(acts) == 8
+        applied = acts.reshape(4, 2)
+        # priming: step 0 applies dispatch 0; thereafter step t applies
+        # dispatch t-1 (carried across forward_with_policy calls)
+        np.testing.assert_allclose(applied[0], disp[0], rtol=1e-6)
+        for t in range(1, 4):
+            np.testing.assert_allclose(applied[t], disp[t - 1], rtol=1e-6)
+        # and the lagged pairing is real: dispatch t-1 saw obs t-1 != obs t
+        assert not np.allclose(disp[1], disp[2])
+    finally:
+        ro.close()

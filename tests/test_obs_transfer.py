@@ -320,3 +320,51 @@ def test_device_replay_pack_features_update_close():
     v_base = run(False)
     v_pack = run(True)
     np.testing.assert_allclose(v_pack, v_base, rtol=0.15, atol=0.05)
+
+
+def test_drq_pack_features_update_close():
+    """DrQ x pack_features (the aug-on-packed fast path,
+    ops/augment.py:apply_augs_to_packed): the scanned K-fold-augmented
+    update runs on packed storage and tracks the raw-dict DrQ baseline to
+    bf16 tolerance — this is what keeps the walker DrQ protocol on the
+    HBM-packed replay instead of re-running obs prep per sample."""
+    trans = _transitions()
+
+    def run(pack):
+        cfg = _agent_cfg(
+            type="DrQ", num_aug=2, svea=False,
+            obs_aug=dict(type="GlobalRotScaleTrans", main_key="xyz", req_keys=["xyz"],
+                         rot_range=None, scale_ratio_range=None,
+                         translation_range=[0.04, 0, 0.04], shift_height=True),
+        )
+        agent = build_agent(cfg)
+        mem = DeviceReplayMemory(
+            capacity=128, seed=0,
+            keys=["obs", "next_obs", "actions", "rewards", "dones", "episode_dones"],
+            transfer_cfg=dict(pack_features=True) if pack else None,
+        )
+        mem.push_batch(trans)
+        vec = np.asarray(agent.update_parameters_scan(mem, 3))
+        assert np.isfinite(vec).all()
+        return vec
+
+    v_base = run(False)
+    v_pack = run(True)
+    np.testing.assert_allclose(v_pack, v_base, rtol=0.15, atol=0.05)
+
+
+def test_drq_pack_features_rejects_rgb_augs():
+    cfg = _agent_cfg(
+        type="DrQ", num_aug=2, svea=False,
+        obs_aug=dict(type="ColorJitterPoints", main_key="rgb", req_keys=["rgb"],
+                     brightness=0.4, contrast=0.4, saturation=0.4, hue=0.5),
+    )
+    agent = build_agent(cfg)
+    mem = DeviceReplayMemory(
+        capacity=64, seed=0,
+        keys=["obs", "next_obs", "actions", "rewards", "dones", "episode_dones"],
+        transfer_cfg=dict(pack_features=True),
+    )
+    mem.push_batch(_transitions())
+    with pytest.raises(AssertionError, match="xyz-only"):
+        agent.update_parameters_scan(mem, 1)
