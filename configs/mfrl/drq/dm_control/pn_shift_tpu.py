@@ -28,4 +28,9 @@ train_cfg = dict(
     n_checkpoint=50000,
     save_replay=50000,
     total_steps=500000,
+    # Stall watchdog (utils/watchdog.py): the tunneled relay can wedge a
+    # device fetch forever (observed round 5: warm-up froze 19 min in a
+    # futex wait, zero CPU, relay unreachable until the client was killed).
+    # 900 s of no loop progress -> exit 3; chain_run.sh resumes warm.
+    stall_timeout=900,
 )

@@ -225,6 +225,7 @@ def run(cfg: Config, work_dir: str, seed: int, args) -> None:
             **{k: v for k, v in train_cfg.items() if k in (
                 "total_steps", "warm_steps", "n_steps", "n_updates", "n_log",
                 "n_eval", "n_checkpoint", "on_policy", "save_replay", "ep_stats_cfg",
+                "stall_timeout",
             )},
         )
     finally:

@@ -35,11 +35,12 @@ while true; do
     echo "chain_run: training finished (run_rl exited 0)"
     break
   fi
-  # 124 = timeout expiry (SIGTERM), 143/137 = external TERM/KILL: these are
+  # 124 = timeout expiry (SIGTERM), 143/137 = external TERM/KILL, 3 = stall
+  # watchdog (wedged device session, utils/watchdog.py): these are
   # preemptions — resume.  Anything else is a permanent error (bad config,
   # import failure): retry a bounded number of times, then give up, so a
   # typo doesn't loop forever.
-  if [ "${status}" -eq 124 ] || [ "${status}" -eq 143 ] || [ "${status}" -eq 137 ]; then
+  if [ "${status}" -eq 124 ] || [ "${status}" -eq 143 ] || [ "${status}" -eq 137 ] || [ "${status}" -eq 3 ]; then
     echo "chain_run: chunk preempted (exit ${status}); resuming in 5 s"
     sleep 5
   else
