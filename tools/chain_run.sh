@@ -11,6 +11,12 @@
 #   - a hard kill (OOM, relay wedge) costs at most train_cfg.n_checkpoint
 #     steps; the chain continues.
 #
+# PCRL_CHAIN_DEADLINE=<epoch seconds>: hard wall-clock budget.  Chunks are
+# shrunk to fit and the chain exits 0 once less than 2 minutes remain, so a
+# chained run sharing a single-tenant device frees it ON TIME for whatever
+# is scheduled next (e.g. the benchmark harness) instead of holding the
+# relay mid-chunk.
+#
 # Usage: tools/chain_run.sh <config.py> <work_dir> <seed> [chunk_seconds] [-- extra run_rl args]
 set -uo pipefail
 cd "$(dirname "$0")/.."
@@ -28,7 +34,17 @@ fi
 [ "${1:-}" == "--" ] && shift
 
 while true; do
-  timeout "${CHUNK}" python -m pointcloud_rl_tpu.apis.run_rl "${CFG}" \
+  THIS_CHUNK="${CHUNK}"
+  if [ -n "${PCRL_CHAIN_DEADLINE:-}" ]; then
+    REMAIN=$(( PCRL_CHAIN_DEADLINE - $(date +%s) ))
+    if [ "${REMAIN}" -lt 120 ]; then
+      echo "chain_run: deadline reached (${REMAIN}s left); stopping cleanly"
+      break
+    fi
+    # leave 60 s for the graceful-preemption checkpoint + worker teardown
+    [ $(( REMAIN - 60 )) -lt "${THIS_CHUNK}" ] && THIS_CHUNK=$(( REMAIN - 60 ))
+  fi
+  timeout "${THIS_CHUNK}" python -m pointcloud_rl_tpu.apis.run_rl "${CFG}" \
     --work-dir "${WORK}" --seed "${SEED}" --auto-resume "$@"
   status=$?
   if [ "${status}" -eq 0 ]; then

@@ -12,7 +12,11 @@ SEEDS=("${@:-1000 2000 3000}")
 for SEED in "${SEEDS[@]}"; do
   # run_rl appends /<seed> to --work-dir: final layout walker_drq_500k/<seed>
   WD="work_dirs/walker_drq_500k"
-  if [ -e "${WD}/${SEED}/models/model_final" ]; then
+  # "finished" = a numbered checkpoint at total_steps exists.  model_final
+  # alone is NOT completion: the graceful-preemption path also writes it
+  # (at whatever step the chunk was killed), so checking it would skip a
+  # half-done seed.
+  if [ -e "${WD}/${SEED}/models/model_500000" ]; then
     echo "== seed ${SEED}: already finished, skipping"
     continue
   fi
