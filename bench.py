@@ -500,11 +500,13 @@ def main() -> None:
         best_i = max(range(len(candidates)), key=lambda i: candidates[i][0])
         best_chunk = chunks[best_i]
         # Sustained rate of the winning shape: relay run-to-run variance is
-        # ±15%, so the headline is the MEDIAN over the winning window plus two
+        # ±15%, so the headline is the MEDIAN over the winning window plus
         # reruns (max-of-N is biased upward; BENCH_r03's best window sat ~9%
-        # above its own reruns).  All windows go into the JSON for the record.
+        # above its own reruns).  A window is only ~3 s, so four reruns
+        # (five windows) cost ~12 s and halve the median's sampling noise vs
+        # three windows.  All windows go into the JSON for the record.
         windows = [candidates[best_i]]
-        for _ in range(2):
+        for _ in range(4):
             rerun = measure_combined_rate(agent, rollout, mem, chunk=best_chunk)
             _stage(f"combined chunk={best_chunk} (rerun): {rerun[0]:.1f} steps/s")
             windows.append(rerun)
