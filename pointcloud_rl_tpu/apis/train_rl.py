@@ -87,6 +87,14 @@ def train_rl(
         from ..utils.stats import EpisodicStatistics
 
         rollout.episode_stats = EpisodicStatistics(rollout.num_envs, **ep_stats_cfg)
+    if rollout is not None and n_steps > 0 and n_steps % rollout.num_envs != 0:
+        # Same contract as the reference (its rollout asserts num % num_envs
+        # at collection time, rollout.py:286); failing here names the config
+        # knobs instead of surfacing mid-run from the rollout internals.
+        raise ValueError(
+            f"train_cfg.n_steps ({n_steps}) must be a multiple of the vec-env size "
+            f"(rollout_cfg.num_procs = {rollout.num_envs}) for synchronized stepping"
+        )
     profiler_active = False
     if profile_steps > 0:
         # Tracing subsystem (SURVEY §5.1): device + host trace of the first

@@ -135,6 +135,9 @@ def test_preemption_and_chain_resume_under_mesh(tmp_path):
         "agent_cfg.actor_cfg.nn_cfg.mlp_cfg.mlp_spec=[16,32,'action_shape*2']",
         "agent_cfg.critic_cfg.nn_cfg.mlp_cfg.mlp_spec=['16+action_shape',32,1]",
         "train_cfg.warm_steps=8", "rollout_cfg.num_procs=2",
+        # the motivating config's n_steps=1 is sized for its num_procs=1;
+        # with 2 envs each synchronized cycle must collect a multiple of 2
+        "train_cfg.n_steps=2",
         "train_cfg.n_log=8", "train_cfg.n_checkpoint=-1", "train_cfg.n_eval=-1",
         "eval_cfg.save_video=False",
     ]
