@@ -238,11 +238,13 @@ class DeviceReplayMemory:
         """
         import h5py
 
+        from .replay import h5_read
+
         with h5py.File(filename, "r") as f:
 
             def _load(group, sl):
                 return {
-                    k: (_load(v, sl) if hasattr(v, "items") else np.asarray(v[sl]))
+                    k: (_load(v, sl) if hasattr(v, "items") else h5_read(v, sl))
                     for k, v in group.items()
                 }
 

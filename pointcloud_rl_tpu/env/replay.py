@@ -30,6 +30,36 @@ from .builder import REPLAYS, build_sampling
 _SKIP_KEYS = ("infos",)
 
 
+def h5_storable(v):
+    """h5py has no bfloat16: store the bit pattern as uint16 plus a
+    ``pcrl_dtype`` attr (older h5py silently wrote an opaque ``|V2`` void
+    dataset instead, which numpy/jax cannot consume on restore)."""
+    arr = np.asarray(v)
+    if arr.dtype.itemsize == 2 and arr.dtype.kind not in "fuib":
+        return arr.view(np.uint16), "bfloat16"
+    try:
+        import ml_dtypes
+
+        if arr.dtype == ml_dtypes.bfloat16:
+            return arr.view(np.uint16), "bfloat16"
+    except ImportError:  # pragma: no cover - ml_dtypes ships with jax
+        pass
+    return arr, None
+
+
+def h5_read(ds, sl=None):
+    """Read an HDF5 dataset (optionally a row slice), undoing ``h5_storable``:
+    ``pcrl_dtype='bfloat16'`` uint16 bit patterns — and legacy opaque 2-byte
+    void datasets written before the tag existed — view back as bfloat16."""
+    a = np.asarray(ds if sl is None else ds[sl])
+    tag = ds.attrs.get("pcrl_dtype") if hasattr(ds, "attrs") else None
+    if tag == "bfloat16" or (a.dtype.kind == "V" and a.dtype.itemsize == 2):
+        import ml_dtypes
+
+        a = a.view(ml_dtypes.bfloat16)
+    return a
+
+
 def apply_transfer(items: Dict[str, Any], transfer_cfg: Optional[dict]) -> Dict[str, Any]:
     """Storage/wire reductions applied before a replay ingests a batch (see
     algorithms/obs_transfer.py): ``drop_subkeys`` removes keys anywhere in
@@ -360,7 +390,10 @@ class ReplayMemory:
                     if isinstance(v, dict):
                         _dump(group.create_group(k), v)
                     else:
-                        group.create_dataset(k, data=v, compression=compression)
+                        arr, tag = h5_storable(v)
+                        ds = group.create_dataset(k, data=arr, compression=compression)
+                        if tag:
+                            ds.attrs["pcrl_dtype"] = tag
 
             _dump(f, data)
 
@@ -372,7 +405,7 @@ class ReplayMemory:
             def _load(group):
                 out = {}
                 for k, v in group.items():
-                    out[k] = _load(v) if hasattr(v, "items") else np.asarray(v)
+                    out[k] = _load(v) if hasattr(v, "items") else h5_read(v)
                 return out
 
             data = _load(f)

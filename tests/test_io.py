@@ -179,3 +179,68 @@ def test_file_client_backends(tmp_path):
     assert FileClient("rot13").get_text(tmp_path / "t.txt") == "uryyb"
     with pytest.raises(KeyError):
         FileClient.register_backend("rot13", Rot13Backend)
+
+
+def test_bfloat16_replay_snapshot_roundtrip(tmp_path):
+    """Regression (round 5): a pack_features DeviceReplayMemory stores bf16;
+    h5py has no bfloat16, so the snapshot writer must tag-and-view (uint16 +
+    pcrl_dtype attr) and both loaders must view back — the untagged writer
+    produced opaque ``|V2`` datasets that TypeError'd every chain resume
+    (items['next_obs']['pcd'] uninterpretable by jit)."""
+    import h5py
+    import ml_dtypes
+    import numpy as np
+
+    from pointcloud_rl_tpu.env.device_replay import DeviceReplayMemory
+    from pointcloud_rl_tpu.env.replay import ReplayMemory, h5_read
+
+    def raw(n):
+        pe = np.tile(np.eye(3, dtype=np.float32)[:, :, None], (1, 1, 8)).reshape(3, 24)
+        return {
+            "obs": {"xyz": np.random.randn(n, 3, 24).astype(np.float32),
+                    "rgb": (np.random.rand(n, 3, 24) * 255).astype(np.uint8),
+                    "pos_encoding": np.repeat(pe[None], n, 0)},
+            "next_obs": {"xyz": np.random.randn(n, 3, 24).astype(np.float32),
+                         "rgb": (np.random.rand(n, 3, 24) * 255).astype(np.uint8),
+                         "pos_encoding": np.repeat(pe[None], n, 0)},
+            "actions": np.zeros((n, 2), np.float32),
+            "rewards": np.zeros((n, 1), np.float32),
+            "dones": np.zeros((n, 1), bool),
+            "episode_dones": np.zeros((n, 1), bool),
+        }
+
+    mem = DeviceReplayMemory(capacity=32, seed=0, transfer_cfg=dict(pack_features=True))
+    mem.push_batch(raw(16))
+    # the exact snapshot path train_rl uses: host ReplayMemory over tail()
+    snap = ReplayMemory(capacity=16)
+    snap.push_batch(mem.tail(16))
+    path = str(tmp_path / "replay_latest.h5")
+    snap.to_hdf5(path, compression="lzf")
+
+    with h5py.File(path, "r") as f:
+        ds = f["obs/pcd"]
+        assert ds.dtype == np.uint16 and ds.attrs["pcrl_dtype"] == "bfloat16"
+
+    # restore into a fresh buffer, then keep pushing RAW env transitions
+    fresh = DeviceReplayMemory(capacity=32, seed=1, transfer_cfg=dict(pack_features=True))
+    fresh.load_hdf5(path)
+    assert len(fresh) == 16
+    fresh.push_batch(raw(8))
+    s = fresh.sample(8)
+    pcd = np.asarray(s["obs"]["pcd"], np.float32)
+    assert np.isfinite(pcd).all()
+
+    # host loader round-trip too
+    host = ReplayMemory(capacity=16)
+    host.load_hdf5(path)
+    assert np.asarray(host.get_all()["obs"]["pcd"]).dtype == ml_dtypes.bfloat16
+
+    # legacy snapshots (pre-tag): opaque |V2 datasets must read as bf16
+    legacy = str(tmp_path / "legacy.h5")
+    bits = np.asarray(mem.tail(4)["obs"]["pcd"]).view(np.void(2).dtype)
+    with h5py.File(legacy, "w") as f:
+        f.create_dataset("obs/pcd", data=bits)
+    with h5py.File(legacy, "r") as f:
+        back = h5_read(f["obs/pcd"])
+    assert back.dtype == ml_dtypes.bfloat16
+    assert np.isfinite(np.asarray(back, np.float32)).all()
