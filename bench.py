@@ -427,12 +427,19 @@ def _device_reachable(timeout_s: int = 240) -> bool:
     The tunneled relay can die mid-session (observed: the relay daemon
     exiting leaves jax device discovery blocked FOREVER in
     get_default_device) — better to fail fast with a clear message than
-    hang the benchmark harness."""
+    hang the benchmark harness.  Discovery alone is not enough: a wedged
+    relay session (observed round 5 after a SIGKILL'd mid-upload client)
+    still lists devices but blocks every device->host FETCH forever, so the
+    probe also round-trips one tiny array."""
     import subprocess
 
+    probe = ("import jax, jax.numpy as jnp, numpy as np; "
+             "jax.devices(); "
+             "assert float(np.asarray(jnp.zeros((8, 8))).sum()) == 0.0; "
+             "print('ok')")
     try:
         out = subprocess.run(
-            [sys.executable, "-c", "import jax; jax.devices(); print('ok')"],
+            [sys.executable, "-c", probe],
             timeout=timeout_s, capture_output=True,
         )
         return b"ok" in out.stdout
@@ -442,8 +449,9 @@ def _device_reachable(timeout_s: int = 240) -> bool:
 
 def main() -> None:
     if not _device_reachable():
-        print("# FATAL: jax device discovery hung >240s — accelerator tunnel down; "
-              "no benchmark numbers can be measured (NOT printing a stale value)",
+        print("# FATAL: jax device discovery/fetch probe hung >240s — accelerator "
+              "tunnel down or relay session wedged; no benchmark numbers can be "
+              "measured (NOT printing a stale value)",
               file=sys.stderr)
         sys.exit(2)
     def _stage(msg):
