@@ -33,7 +33,14 @@ train_cfg = dict(
     n_updates=16,
     n_eval=-1,
     n_checkpoint=50000,
-    save_replay=50000,
+    # Replay snapshots disabled on the tunneled relay: the 50k-row tail()
+    # is a ~1.4 GB blocking device->host fetch, and big fetches are exactly
+    # what wedges the relay session (observed twice, round 5: 33 min wedge
+    # at 10:10, stall at the 200k checkpoint 11:03).  Cold chain-resumes
+    # restore from the last snapshot on disk if one exists, else do an
+    # off-budget policy refill.  Re-enable (save_replay=50000) on locally
+    # attached chips where the fetch is a memcpy.
+    save_replay=-1,
     total_steps=500000,
     # Stall watchdog (utils/watchdog.py): the tunneled relay can wedge a
     # device fetch forever (observed round 5: warm-up froze 19 min in a
