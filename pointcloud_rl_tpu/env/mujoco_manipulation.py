@@ -264,6 +264,7 @@ class MoveBucketEnv(MujocoTaskEnv):
         max_depth: float = 6.0,
         ego_mode: bool = False,
         robot: str = "a2_dual",
+        bucket_dist_range: Tuple[float, float] = (0.8, 1.2),
         **kwargs,
     ):
         """``robot``: "a2_dual" (default — the benchmark's own mobile A2
@@ -293,6 +294,14 @@ class MoveBucketEnv(MujocoTaskEnv):
         self.max_depth = max_depth
         self.ego_mode = ego_mode
         self.robot = robot
+        # Carry-curriculum knob (same rationale as PushChair's
+        # robot_init_range, chair_task.py:209): the reference spawns the
+        # target platform 0.8-1.2 m from the bucket (move_bucket.py:77-113,
+        # the default here).  Short training budgets can shrink the carry
+        # distance so the lift->place->release tail of the staged ladder is
+        # reachable; success semantics (ball in bucket AND above platform
+        # AND standing AND static, with hysteresis) are unchanged.
+        self.bucket_dist_range = (float(bucket_dist_range[0]), float(bucket_dist_range[1]))
         if robot == "gripper":
             self.agent = None
             self.action_space = Box(-1.0, 1.0, (6,))
@@ -340,7 +349,7 @@ class MoveBucketEnv(MujocoTaskEnv):
         # the layout is the reference's translated so the BUCKET starts
         # near the origin: bucket->target distance 0.8-1.2 m)
         ang = rs.uniform(-np.pi, np.pi)
-        dist = rs.uniform(0.8, 1.2)
+        dist = rs.uniform(*self.bucket_dist_range)
         self._plat_xy = np.array([np.cos(ang), np.sin(ang)]) * dist
         self._bucket_xy = rs.uniform(-0.15, 0.15, 2)
 

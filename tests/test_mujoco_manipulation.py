@@ -234,3 +234,29 @@ def test_a2_staged_reward_is_learnable_signal():
         assert r_lift > max(rewards), (r_lift, rewards)
     finally:
         env.close()
+
+
+def test_bucket_dist_range_curriculum_knob():
+    """Carry-curriculum spawn (pn_shift_movebucket_curriculum.py): the
+    platform lands inside the configured bucket->target range, and the
+    default stays at the reference's 0.8-1.2 m (move_bucket.py:77-113)."""
+    from pointcloud_rl_tpu.env.builder import build_env
+
+    env = build_env(dict(type="gym", env_name="MoveBucketMJC_val-v0",
+                         obs_mode="state", robot="gripper",
+                         bucket_dist_range=[0.6, 0.75]))
+    try:
+        assert env.bucket_dist_range == (0.6, 0.75)
+        for level in (1, 2):
+            env.reset(level=level)
+            d = float(np.linalg.norm(env._plat_xy))
+            assert 0.6 <= d <= 0.75, d
+    finally:
+        env.close()
+
+    env = build_env(dict(type="gym", env_name="MoveBucketMJC_val-v0",
+                         obs_mode="state", robot="gripper"))
+    try:
+        assert env.bucket_dist_range == (0.8, 1.2)
+    finally:
+        env.close()
