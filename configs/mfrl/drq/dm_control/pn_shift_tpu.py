@@ -32,7 +32,9 @@ train_cfg = dict(
     n_steps=16,
     n_updates=16,
     n_eval=-1,
-    n_checkpoint=50000,
+    # 25k: a relay wedge costs at most ~4 min of recollection; the protocol
+    # eval grid (100k/250k/500k) is a superset of both cadences.
+    n_checkpoint=25000,
     # Replay snapshots disabled on the tunneled relay: the 50k-row tail()
     # is a ~1.4 GB blocking device->host fetch, and big fetches are exactly
     # what wedges the relay session (observed twice, round 5: 33 min wedge

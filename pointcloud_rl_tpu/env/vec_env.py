@@ -32,6 +32,19 @@ def _worker_loop(env_fn_cfg, worker_seed, conn):
     Once a shared-memory buffer is attached, observations are written into
     the worker's slot instead of being pickled through the pipe (the
     reference's BufferAugmentedEnv + SharedDictArray obs plane)."""
+    # Graceful-preemption contract: coreutils `timeout` (and most schedulers)
+    # signal the whole process GROUP, so workers receive the same SIGTERM as
+    # the trainer.  The trainer's trap finishes the cycle and writes a
+    # numbered checkpoint — which needs the workers alive for a few more
+    # steps; a worker that dies on that TERM instead kills the cycle with
+    # EOFError and loses the checkpoint (observed in production chain runs).
+    # Workers therefore ignore TERM/INT: the parent owns their lifecycle via
+    # the "exit" command, and a hard-killed parent closes the pipe, which
+    # lands recv() in EOFError -> clean self-exit below (no orphan risk).
+    import signal as _signal
+
+    _signal.signal(_signal.SIGTERM, _signal.SIG_IGN)
+    _signal.signal(_signal.SIGINT, _signal.SIG_IGN)
     # Env workers must not oversubscribe BLAS threads.
     for var in ("OMP_NUM_THREADS", "OPENBLAS_NUM_THREADS", "MKL_NUM_THREADS"):
         os.environ[var] = "1"

@@ -1,6 +1,9 @@
 """Env plane tests: DistEnv, wrappers, vec envs, replay ring buffer,
 rollout collection, evaluation loop, obs processing."""
 
+import os
+import time
+
 import numpy as np
 import pytest
 
@@ -445,3 +448,30 @@ def test_rollout_action_lag_applies_previous_dispatch():
         assert not np.allclose(disp[1], disp[2])
     finally:
         ro.close()
+
+
+def test_env_workers_survive_group_sigterm():
+    """coreutils `timeout` (and most schedulers) TERM the whole process
+    GROUP, so env workers receive the trainer's preemption signal too.  The
+    graceful-preemption window needs them alive to finish the cycle
+    (vec_env._worker_loop ignores TERM/INT; the parent still owns teardown
+    via the exit command)."""
+    import signal as sig
+
+    vec = build_vec_env(DIST_CFG, num_procs=2, base_seed=11)
+    try:
+        vec.reset()
+        pids = [w.proc.pid for w in vec.vec_env.workers]
+        for p in pids:
+            os.kill(p, sig.SIGTERM)
+        time.sleep(0.5)
+        # workers must still serve a full step round-trip after the TERM
+        trans = vec.step_dict(vec.random_actions())
+        assert trans["rewards"].shape == (2, 1)
+        procs = [w.proc for w in vec.vec_env.workers]
+        assert all(p.is_alive() for p in procs)
+    finally:
+        vec.close()
+    for p in procs:
+        p.join(timeout=10)
+        assert not p.is_alive()  # exit command still tears them down
