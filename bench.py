@@ -447,11 +447,40 @@ def _device_reachable(timeout_s: int = 240) -> bool:
         return False
 
 
+def _wait_device_reachable() -> bool:
+    """Retry the probe inside a wall-clock budget before declaring failure.
+
+    Wedged relay sessions are TRANSIENT (observed round 5: a session
+    wedged by a hard-killed client healed ~30 min later; every new client
+    in between blocked on its first fetch).  A single-shot probe turns a
+    transient server-side wedge into a failed benchmark round, so retry —
+    each attempt is its own subprocess/session — until
+    PCRL_BENCH_PROBE_BUDGET_S (default 1500 s) is spent."""
+    budget = float(_os.environ.get("PCRL_BENCH_PROBE_BUDGET_S", "1500"))
+    deadline = time.monotonic() + budget
+    attempt = 0
+    while True:
+        attempt += 1
+        remain = deadline - time.monotonic()
+        if _device_reachable(timeout_s=int(min(240, max(60, remain)))):
+            return True
+        if time.monotonic() >= deadline:
+            return False
+        print(f"# [{time.strftime('%H:%M:%S')}] probe attempt {attempt} blocked "
+              f"(wedged relay session?); retrying — {int(remain)}s of budget left",
+              file=sys.stderr, flush=True)
+        # Long gap between attempts: a probe killed mid-fetch is itself a
+        # hard-killed client — the very thing that wedges sessions — so
+        # probing too eagerly can keep re-wedging the relay it is waiting on.
+        time.sleep(60)
+
+
 def main() -> None:
-    if not _device_reachable():
-        print("# FATAL: jax device discovery/fetch probe hung >240s — accelerator "
-              "tunnel down or relay session wedged; no benchmark numbers can be "
-              "measured (NOT printing a stale value)",
+    if not _wait_device_reachable():
+        print("# FATAL: jax device discovery/fetch probes hung for the whole "
+              "PCRL_BENCH_PROBE_BUDGET_S window — accelerator tunnel down or "
+              "relay session wedged; no benchmark numbers can be measured "
+              "(NOT printing a stale value)",
               file=sys.stderr)
         sys.exit(2)
     def _stage(msg):
